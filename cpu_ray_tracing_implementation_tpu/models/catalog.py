@@ -1,0 +1,448 @@
+"""The 22-scene catalog — the reference's de-facto feature/regression matrix.
+
+Each function mirrors one scene builder in reference src/main.cc (file:line
+cited per function) and returns ``(scene, camera)``. ``width``/``spp``/
+``max_depth`` overrides let tests and benchmarks run scaled-down versions of
+the exact same geometry.
+
+Scene-build randomness uses seeded numpy generators (the reference uses the
+global rand() stream, so its layouts differ run-to-run anyway).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cpu_ray_tracing_implementation_tpu.models import camera as cam
+from cpu_ray_tracing_implementation_tpu.models.scene import SceneBuilder
+from cpu_ray_tracing_implementation_tpu.utils import image_io
+from cpu_ray_tracing_implementation_tpu.ops import vecmath  # noqa: F401 (doc link)
+
+
+def _cam_args(width, spp, max_depth, dw, dspp, ddepth):
+    return (dw if width is None else width,
+            dspp if spp is None else spp,
+            ddepth if max_depth is None else max_depth)
+
+
+def _earth(b: SceneBuilder) -> int:
+    return b.picture(image_io.load_image(image_io.reference_asset("earthmap.jpg")))
+
+
+def _skybox(b: SceneBuilder) -> int:
+    # bathroom.exr is missing from the snapshot; procedural substitute.
+    return b.picture(image_io.procedural_sky())
+
+
+def _onb_transform_np(normal, local):
+    """numpy mirror of src/onb.h for procedural scene gen (sphereflake)."""
+    y = normal / np.linalg.norm(normal)
+    a = np.array([0.0, 0.0, 1.0]) if abs(y[0]) > 0.9 else np.array([1.0, 0.0, 0.0])
+    z = np.cross(y, a)
+    z /= np.linalg.norm(z)
+    x = np.cross(y, z)
+    return local[0] * x + local[1] * y + local[2] * z
+
+
+# ----------------------------------------------------------------- 1
+def three_material_ball(width=None, spp=None, max_depth=None):
+    """main.cc:69-85"""
+    w, s, d = _cam_args(width, spp, max_depth, 1280, 100, 5)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker(odd=(1, 1, 1), even=(0.6, 0.6, 0.2), scale=1.0))
+    glass = b.dielectric(1.5)
+    matte = b.lambertian((0.4, 0.2, 0.1))
+    metal = b.metal((0.7, 0.6, 0.5), 0.0)
+    b.sphere((0, -1000, 0), 1000, ground)
+    b.sphere((0, 1, 0), 1.0, glass)
+    b.sphere((-4, 1, 0), 1.0, matte)
+    b.sphere((4, 1, 0), 1.0, metal)
+    b.set_background(b.solid((0.7, 0.8, 1.0)))
+    return b.build(), cam.perspective(w, 16 / 9, (13, 2, 3), (0, 0, 0), 1, 20.0, s, d)
+
+
+# ----------------------------------------------------------------- 2
+def three_material_ball_with_defocus_blur(width=None, spp=None, max_depth=None):
+    """main.cc:87-103 (thin-lens camera)"""
+    w, s, d = _cam_args(width, spp, max_depth, 1280, 1000, 5)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker((1, 1, 1), (0.6, 0.6, 0.2), 1.0))
+    glass = b.dielectric(1.5)
+    matte = b.lambertian((0.4, 0.2, 0.1))
+    metal = b.metal((0.7, 0.6, 0.5), 0.0)
+    b.sphere((0, -1000, 0), 1000, ground)
+    b.sphere((0, 1, 0), 1.0, glass)
+    b.sphere((-4, 1, 0), 1.0, matte)
+    b.sphere((4, 1, 0), 1.0, metal)
+    b.set_background(b.solid((0.7, 0.8, 1.0)))
+    return b.build(), cam.lens(w, 16 / 9, (13, 2, 3), (1, 1, 1),
+                               defocus_angle_deg=2.0, focus_dist=15, fovy_deg=20.0,
+                               spp=s, max_depth=d)
+
+
+# ----------------------------------------------------------------- 3
+def random_motion_ball(width=None, spp=None, max_depth=None, seed=3):
+    """main.cc:105-153 (RTiOW final scene + motion blur)"""
+    w, s, d = _cam_args(width, spp, max_depth, 1280, 20, 50)
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker((1, 1, 1), (0.6, 0.6, 0.2), 1.0))
+    b.sphere((0, -1000, 0), 1000, ground)
+    for a in range(-11, 11):
+        for bb in range(-11, 11):
+            choose = rng.uniform()
+            c1 = np.array([a + 0.7 * rng.uniform(), 0.2, bb + 0.7 * rng.uniform()])
+            c2 = c1 + np.array([0, rng.uniform(0, 0.15), 0])
+            if np.linalg.norm(c1 - np.array([4, 0.2, 0])) <= 0.9:
+                continue
+            if choose < 0.3:
+                continue
+            if choose < 0.8:
+                albedo = rng.uniform(size=3) * rng.uniform(size=3)
+                b.moving_sphere(c1, c2, 0.2, b.lambertian(tuple(albedo)))
+            elif choose < 0.95:
+                albedo = rng.uniform(0.5, 1.0, size=3)
+                b.moving_sphere(c1, c2, 0.2, b.metal(tuple(albedo), 0.0))
+            else:
+                b.moving_sphere(c1, c2, 0.2, b.dielectric(1.5))
+    glass = b.dielectric(1.5)
+    b.sphere((0, 1, 0), 1.0, glass)
+    b.sphere((-4, 1, 0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.sphere((4, 1, 0), 1.0, glass)
+    b.set_background(b.solid((0.7, 0.8, 1.0)))
+    return b.build(), cam.perspective(w, 16 / 9, (13, 2, 3), (0, 0, 0), 1, 20, s, d)
+
+
+# ----------------------------------------------------------------- 4
+def simple_light_earth(width=None, spp=None, max_depth=None):
+    """main.cc:155-171 (diffuse_light + MIS light sampling + gloss + perlin)"""
+    w, s, d = _cam_args(width, spp, max_depth, 1280, 500, 5)
+    b = SceneBuilder()
+    b.sphere((0, -1000, 0), 1000, b.lambertian(b.perlin(4)))
+    b.sphere((0, 2, 0), 2, b.gloss(_earth(b), 1.0, 0.08))
+    light_q = b.quad((-2, 7, -2), (4, 0, 0), (0, 0, 4), b.diffuse_light((9, 9, 9)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 16 / 9, (26, 3, 6), (0, 2, 0), 1, 20.0, s, d)
+
+
+# ----------------------------------------------------------------- 5
+def skybox_and_fisheye(width=None, spp=None, max_depth=None):
+    """main.cc:173-183 (fisheye camera + EXR skybox substitute)"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 500, 5)
+    b = SceneBuilder()
+    b.sphere((0, 0, 0), 1, b.dielectric(1.0))
+    b.set_background(_skybox(b))
+    return b.build(), cam.fisheye(w, 1, (1.1, 1.8, 1.1), (0, 0, 0), 1.0, 90, s, d)
+
+
+# ----------------------------------------------------------------- 6
+def skybox_and_motion_blur(width=None, spp=None, max_depth=None):
+    """main.cc:185-196"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 500, 5)
+    b = SceneBuilder()
+    b.moving_sphere((-0.2, 0, 0), (0.2, 0, 0), 1, b.lambertian(_earth(b)))
+    b.set_background(_skybox(b))
+    return b.build(), cam.perspective(w, 1, (0, 0, 4), (0, 0, 0), 1.0, 70, s, d)
+
+
+def _cornell_walls(b: SceneBuilder, red, white, green, top_variant: int = 0, metal_walls=None):
+    """Five Cornell walls; top_variant 0 = cornell_box layout (main.cc:204-212),
+    1 = the volume/specular/rotated variants (main.cc:234-240)."""
+    b.quad((555, 0, 0), (0, 555, 0), (0, 0, 555), green)
+    b.quad((0, 0, 0), (0, 555, 0), (0, 0, 555), red)
+    if top_variant == 0:
+        b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+        b.quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white)
+        b.quad((0, 0, 555), (555, 0, 0), (0, 555, 0), metal_walls or white)
+    else:
+        b.quad((0, 555, 0), (555, 0, 0), (0, 0, 555), white)
+        b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+        b.quad((0, 0, 555), (555, 0, 0), (0, 555, 0), white)
+
+
+# ----------------------------------------------------------------- 7
+def cornell_box(width=None, spp=None, max_depth=None):
+    """main.cc:198-225 — the benchmark scene."""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 40, 4)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    _cornell_walls(b, red, white, green, top_variant=0)
+    b.box((0, 0, 0), (165, 330, 165), white, translate=(100, 0, 200))
+    b.box((0, 0, 0), (165, 165, 165), white, translate=(50, 0, 100))
+    light_q = b.quad((343, 554, 332), (-130, 0, 0), (0, 0, -105),
+                     b.diffuse_light((15, 15, 15)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40.0, s, d)
+
+
+# ----------------------------------------------------------------- 8
+def cornell_box_with_volume(width=None, spp=None, max_depth=None):
+    """main.cc:227-253 (constant-density smoke boxes, rotate_y)"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 100, 5)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    _cornell_walls(b, red, white, green, top_variant=1)
+    b.volume_box((0, 0, 0), (150, 280, 150), 0.02, (0, 0, 0),
+                 rotate=("y", 45), translate=(265, 0, 285))
+    b.volume_box((0, 0, 0), (140, 140, 140), 0.02, (1, 1, 1),
+                 rotate=("y", -15), translate=(130, 0, 65))
+    light_q = b.quad((113, 554, 127), (330, 0, 0), (0, 0, 305), b.diffuse_light((7, 7, 7)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40, s, d)
+
+
+# ----------------------------------------------------------------- 9
+def cornell_box_with_rotated_box(width=None, spp=None, max_depth=None):
+    """main.cc:284-307 (rotate_z instancing)"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 100, 5)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    _cornell_walls(b, red, white, green, top_variant=1)
+    b.box((265, 0, 295), (430, 330, 460), white, rotate=("z", 15))
+    light_q = b.quad((113, 554, 127), (330, 0, 0), (0, 0, 305), b.diffuse_light((7, 7, 7)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40, s, d)
+
+
+# ----------------------------------------------------------------- 10
+def cornell_box_with_specular_box(width=None, spp=None, max_depth=None):
+    """main.cc:255-283 (mirror box in Cornell)"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 500, 5)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    met = b.metal((1.0, 1.0, 1.0), 0.0)
+    _cornell_walls(b, red, white, green, top_variant=1)
+    b.box((0, 0, 0), (150, 280, 150), met, rotate=("y", 20), translate=(265, 0, 285))
+    b.box((0, 0, 0), (140, 140, 140), white, rotate=("y", -15), translate=(130, 0, 65))
+    light_q = b.quad((113, 554, 127), (330, 0, 0), (0, 0, 305), b.diffuse_light((7, 7, 7)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40, s, d)
+
+
+# ----------------------------------------------------------------- 12
+def perlin_texture_ball(width=None, spp=None, max_depth=None, seed=12):
+    """main.cc:402-437 (box field + perlin sphere + dielectric).
+
+    Divergence note: the reference wraps the perlin sphere in
+    translate(rotate_x(-90)) — for a sphere this only reorients the
+    *texture-space* coordinates; we apply the translation (geometry-exact)
+    and sample noise in world space (pattern orientation differs).
+    """
+    w, s, d = _cam_args(width, spp, max_depth, 600, 500, 5)
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    ground = b.lambertian((0.48, 0.83, 0.53))
+    n_side = 20
+    for i in range(n_side):
+        for j in range(n_side):
+            x0 = -1000.0 + i * 100.0
+            z0 = -1000.0 + j * 100.0
+            y1 = rng.uniform(1, 101)
+            b.box((x0, 0.0, z0), (x0 + 100.0, y1, z0 + 100.0), ground)
+    light_q = b.quad((123, 554, 147), (300, 0, 0), (0, 0, 265), b.diffuse_light((7, 7, 7)))
+    b.sphere((260, 150, 45), 50, b.dielectric(1.5))
+    b.sphere((180, 280, 400), 80, b.lambertian(b.perlin(8)))
+    # NOTE: reference renders this scene *without* light importance sampling
+    # (cam.render(of, bvh) — no light arg, main.cc:436); light_q is geometry only.
+    _ = light_q
+    return b.build(), cam.perspective(w, 1.0, (478, 278, -600), (278, 278, 0), 1, 40.0, s, d)
+
+
+# ----------------------------------------------------------------- 13
+def sphereflake(width=None, spp=None, max_depth=None, depth_levels=4):
+    """main.cc:23-67 (recursive fractal, 7,381 spheres at depth 4; the
+    reference's only timed benchmark)."""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 50, 5)
+    b = SceneBuilder()
+    metal = b.metal((0.5, 0.5, 0.5))
+
+    def recur(radius, center, level, direction):
+        b.sphere(center, radius, metal)
+        if level == 0:
+            return
+        scale = 0.25
+        for i in range(6):
+            ang = 2.0 * np.pi * i / 6.0
+            off = _onb_transform_np(direction, np.array([np.cos(ang), 0.0, np.sin(ang)]))
+            new_dir = off.copy()
+            off = off * (radius + radius * scale)
+            recur(radius * scale, center + off, level - 1, new_dir)
+        for i in range(3):
+            ang = 2.0 * np.pi * i / 3.0
+            off = _onb_transform_np(direction, np.array([
+                np.cos(ang) * np.cos(np.pi / 3), np.sin(np.pi / 3),
+                np.sin(ang) * np.cos(np.pi / 3)]))
+            new_dir = off.copy()
+            off = off * (radius + radius * scale)
+            recur(radius * scale, center + off, level - 1, new_dir)
+
+    recur(100.0, np.zeros(3), depth_levels, np.array([0.0, 1.0, 0.0]))
+    b.set_background(_skybox(b))
+    return b.build(), cam.perspective(w, 1.0, (200, 200, 200), (0, 0, 0), 1, 90.0, s, d)
+
+
+# ----------------------------------------------------------------- 15
+def white_sphere(width=None, spp=None, max_depth=None):
+    """main.cc:500-510 (minimal smoke test)"""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 100, 5)
+    b = SceneBuilder()
+    b.sphere((0, 0, 0), 1, b.metal((1.0, 1.0, 1.0), 0.1))
+    b.set_background(b.solid((1.0, 1.0, 1.0)))
+    return b.build(), cam.perspective(w, 1.0, (13, 2, 3), (0, 0, 0), 1, 20, s, d)
+
+
+def _gloss_room(b: SceneBuilder):
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    b.quad((18, -4, -3), (0, 8, 0), (0, 0, 6), green)
+    b.quad((0, -4, -3), (0, 8, 0), (0, 0, 6), red)
+    b.quad((0, -4, -3), (18, 0, 0), (0, 0, 6), white)
+    b.quad((0, 4, -3), (18, 0, 0), (0, 0, 6), white)
+    b.quad((0, -4, -3), (18, 0, 0), (0, 10, 0), white)
+
+
+# ----------------------------------------------------------------- 16
+def different_fuzz_metal(width=None, spp=None, max_depth=None):
+    """main.cc:512-547 (metal fuzz sweep 0 -> 1)"""
+    w, s, d = _cam_args(width, spp, max_depth, 760, 1000, 10)
+    b = SceneBuilder()
+    _gloss_room(b)
+    for x, fuzz in ((2, 0.0), (5.5, 0.25), (9, 0.5), (12.5, 0.75), (16, 1.0)):
+        b.sphere((x, 0, -0.5), 1.25, b.metal((1.0, 1.0, 1.0), fuzz))
+    light_q = b.quad((5.5, 3.995, -1.25), (7, 0, 0), (0, 0, 2.5), b.diffuse_light((7, 7, 7)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 19 / 9, (9, 0, 15.2), (9, 0, 1), 1, 40.0, s, d)
+
+
+# ----------------------------------------------------------------- 17
+def infinite_reflection(width=None, spp=None, max_depth=None):
+    """main.cc:549-579 (parallel mirrors, depth 30)"""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 1000, 30)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    metal = b.metal((0.8, 0.8, 0.8), 0.0)
+    b.quad((555, 0, 0), (0, 555, 0), (0, 0, 555), green)
+    b.quad((0, 0, 0), (0, 555, 0), (0, 0, 555), red)
+    b.quad((0, 0, 0), (555, 0, 0), (0, 0, 555), white)
+    b.quad((555, 555, 555), (-555, 0, 0), (0, 0, -555), white)
+    b.quad((0, 0, 555), (555, 0, 0), (0, 555, 0), metal)
+    b.quad((0, 0, 0), (555, 0, 0), (0, 555, 0), metal)
+    b.sphere((460, 80, 80), 60, b.gloss(_earth(b), 0.97, 0.18))
+    b.box((0, 0, 0), (140, 140, 140), white, rotate=("y", -15), translate=(130, 0, 65))
+    light_q = b.quad((113, 554, 127), (330, 0, 0), (0, 0, 305), b.diffuse_light((5, 5, 5)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (500, 290, 550), (400, 278, 0), 1, 40.0, s, d)
+
+
+# ----------------------------------------------------------------- 18
+def cornell_box_with_glossy_ball(width=None, spp=None, max_depth=None):
+    """main.cc:309-343 (gloss specular-probability sweep, 19:9)"""
+    w, s, d = _cam_args(width, spp, max_depth, 760, 1000, 10)
+    b = SceneBuilder()
+    _gloss_room(b)
+    earth = _earth(b)
+    for x, prob in ((3, 1.0), (7, 0.40), (11, 0.15), (15, 0.02)):
+        b.sphere((x, 0, -0.5), 1.25, b.gloss(earth, 1.0, prob))
+    light_q = b.quad((5.5, 3.995, -1.25), (7, 0, 0), (0, 0, 2.5), b.diffuse_light((8, 8, 8)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 19 / 9, (9, 0, 15.2), (9, 0, 1), 1, 40.0, s, d)
+
+
+def _noise_test(tex_fn, extent, vp_h, cam_pos, cam_look, width, spp, max_depth):
+    b = SceneBuilder()
+    mat = b.lambertian(tex_fn(b))
+    b.quad((0, 0, 0), (extent, 0, 0), (0, extent, 0), mat)
+    b.set_background(b.solid((1.0, 1.0, 1.0)))
+    return b.build(), cam.orthographic(width, 1, vp_h, cam_pos, cam_look, spp, max_depth)
+
+
+# ----------------------------------------------------------------- 19-22
+def test_perlin_noise(width=None, spp=None, max_depth=None):
+    """main.cc:581-593 (orthographic camera + perlin on a quad)"""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 10, 5)
+    return _noise_test(lambda b: b.perlin(1), 10, 10, (5, 5, 1), (5, 5, 0), w, s, d)
+
+
+def test_value_noise(width=None, spp=None, max_depth=None):
+    """main.cc:595-606"""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 10, 5)
+    return _noise_test(lambda b: b.value(40), 40, 20, (20, 20, 1), (20, 20, 0), w, s, d)
+
+
+def test_worley_noise(width=None, spp=None, max_depth=None):
+    """main.cc:608-618"""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 10, 5)
+    return _noise_test(lambda b: b.worley(), 40, 20, (20, 20, 1), (20, 20, 0), w, s, d)
+
+
+def test_voronoi_noise(width=None, spp=None, max_depth=None):
+    """main.cc:620-631"""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 10, 5)
+    return _noise_test(lambda b: b.voronoi(), 40, 20, (20, 20, 1), (20, 20, 0), w, s, d)
+
+
+# ----------------------------------------------------------------- 11, 14 (glTF)
+def glass_fox(width=None, spp=None, max_depth=None):
+    """main.cc:345-400 (glTF Fox as dielectric triangles + skybox)"""
+    from cpu_ray_tracing_implementation_tpu.utils import gltf
+
+    w, s, d = _cam_args(width, spp, max_depth, 600, 200, 5)
+    b = SceneBuilder()
+    glass = b.dielectric(1.5)
+    verts = gltf.load_triangles(image_io.reference_asset("Fox/glTF/Fox.gltf"))
+    b.triangles(verts, glass)
+    b.set_background(_skybox(b))
+    return b.build(), cam.perspective(w, 1.0, (220, 220, 220), (0, 20, 0), 1, 45.0, s, d)
+
+
+def sponza(width=None, spp=None, max_depth=None):
+    """main.cc:439-498 (262k-triangle BVH scale test; Sponza.bin absent from
+    the snapshot -> loader degrades to whatever primitives are readable)."""
+    from cpu_ray_tracing_implementation_tpu.utils import gltf
+
+    w, s, d = _cam_args(width, spp, max_depth, 200, 30, 5)
+    b = SceneBuilder()
+    white = b.lambertian((1.0, 1.0, 1.0))
+    verts = gltf.load_triangles(image_io.reference_asset("Sponza/glTF/Sponza.gltf"))
+    if len(verts):
+        b.triangles(verts, white)
+    light_q = b.quad((0, 1200, 0), (500, 0, 0), (0, 0, 500), b.diffuse_light((10, 10, 10)))
+    b.light(light_q)
+    return b.build(), cam.perspective(w, 1.0, (500, 320, 90), (0, 280, 0), 1, 45.0, s, d)
+
+
+SCENES = {
+    "three_material_ball": three_material_ball,
+    "three_material_ball_with_defocus_blur": three_material_ball_with_defocus_blur,
+    "random_motion_ball": random_motion_ball,
+    "simple_light_earth": simple_light_earth,
+    "skybox_and_fisheye": skybox_and_fisheye,
+    "skybox_and_motion_blur": skybox_and_motion_blur,
+    "cornell_box": cornell_box,
+    "cornell_box_with_volume": cornell_box_with_volume,
+    "cornell_box_with_rotated_box": cornell_box_with_rotated_box,
+    "cornell_box_with_specular_box": cornell_box_with_specular_box,
+    "glass_fox": glass_fox,
+    "perlin_texture_ball": perlin_texture_ball,
+    "sphereflake": sphereflake,
+    "sponza": sponza,
+    "white_sphere": white_sphere,
+    "different_fuzz_metal": different_fuzz_metal,
+    "infinite_reflection": infinite_reflection,
+    "cornell_box_with_glossy_ball": cornell_box_with_glossy_ball,
+    "test_perlin_noise": test_perlin_noise,
+    "test_value_noise": test_value_noise,
+    "test_worley_noise": test_worley_noise,
+    "test_voronoi_noise": test_voronoi_noise,
+}

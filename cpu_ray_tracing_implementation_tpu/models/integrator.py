@@ -1,0 +1,128 @@
+"""Wavefront path-tracing integrator.
+
+TPU re-design of the reference's recursive ``camera::ray_color``
+(src/camera.h:193-241): recursion over bounce depth becomes a fixed-length
+``lax.scan`` carrying (origin, direction, time, throughput, radiance, alive)
+for a whole ray batch; data-dependent material branching becomes masked-lane
+selects (ops/materials.py); the shared-state RNG becomes counter-based
+``jax.random`` keys folded per (sample, bounce).
+
+Estimator identity with the reference: at each segment the recursive form
+
+    L = emitted + weight * L_next          (src/camera.h:210-240)
+
+unrolls to radiance += throughput * emitted; throughput *= weight, with a
+miss adding throughput * background (src/camera.h:180-190) and terminating
+the lane, and the depth budget expiring to black (src/camera.h:194-195).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
+from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
+from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
+from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+
+T_MIN = 1e-3  # shadow-acne bias, interval(0.001, inf) (src/camera.h:198)
+
+
+def background_color(scene, dirs: jnp.ndarray) -> jnp.ndarray:
+    """Environment lookup on miss (src/camera.h:180-190).
+
+    The reference intersects a unit sphere at the ray origin just to get
+    spherical UVs of the direction; that collapses to a direct
+    direction -> equirect UV transform (SURVEY.md appendix item 10).
+    """
+    if scene.background < 0:
+        return jnp.zeros(dirs.shape, dirs.dtype)
+    unit_d = vm.normalize(dirs)
+    u, v = isect.sphere_uv(unit_d)
+    tex_id = jnp.full(u.shape, scene.background, jnp.int32)
+    return eval_texture(scene, tex_id, u, v, unit_d)
+
+
+def render_rays(scene, org, dirs, time, key, max_depth: int,
+                uniforms=None) -> jnp.ndarray:
+    """Radiance [R,3] for a batch of rays.
+
+    ``uniforms``: optional precomputed [max_depth, R, NSLOT+V] block (used by
+    the parity tests to replay the exact stream into a NumPy oracle);
+    normally drawn per bounce from ``key``.
+    """
+    n_rays = org.shape[0]
+    n_vol = scene.n_volumes
+    nslot = mat_ops.NSLOT + n_vol
+
+    def bounce(carry, inputs):
+        org, dirs, time, throughput, radiance, alive = carry
+        if uniforms is None:
+            bounce_idx = inputs
+            u = jax.random.uniform(jax.random.fold_in(key, bounce_idx), (n_rays, nslot))
+        else:
+            u = inputs
+
+        hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
+                                    u[:, mat_ops.SLOT_VOLUME0:])
+
+        # miss -> background, lane terminates
+        bg = background_color(scene, dirs)
+        miss = alive & ~hit.valid
+        radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+
+        # emission at the hit (front-face diffuse_light)
+        lit = alive & hit.valid
+        emit = mat_ops.emitted(scene, hit)
+        radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
+
+        # scatter
+        new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u)
+        alive = lit & continues
+        throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
+        org = jnp.where(alive[:, None], hit.p, org)
+        dirs = jnp.where(alive[:, None], new_dir, dirs)
+        return (org, dirs, time, throughput, radiance, alive), None
+
+    init = (
+        org, dirs, time,
+        jnp.ones((n_rays, 3), org.dtype),
+        jnp.zeros((n_rays, 3), org.dtype),
+        jnp.ones((n_rays,), bool),
+    )
+    xs = jnp.arange(max_depth) if uniforms is None else uniforms
+    (_, _, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs)
+    return radiance
+
+
+def render_sample(scene, camera, key, pixel_ids) -> jnp.ndarray:
+    """One sample of every pixel in ``pixel_ids``: raygen + integrate."""
+    k_cam, k_path = jax.random.split(key)
+    u_cam = jax.random.uniform(k_cam, (pixel_ids.shape[0], cam_mod.N_CAM_SLOTS))
+    org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
+    return render_rays(scene, org, dirs, time, k_path, camera.max_depth)
+
+
+@functools.partial(jax.jit, static_argnames=("spp",))
+def render_image(scene, camera, key, spp: int | None = None) -> jnp.ndarray:
+    """Full image [H,W,3] (linear radiance, pre-gamma).
+
+    The sample loop is a ``lax.scan`` (one full-frame wavefront per sample)
+    — the TPU replacement for the reference's per-pixel sample loop
+    (src/camera.h:163-171). spp defaults to camera.spp.
+    """
+    spp = camera.spp if spp is None else spp
+    n_pix = camera.width * camera.height
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+    def one_sample(accum, s):
+        k = jax.random.fold_in(key, s)
+        return accum + render_sample(scene, camera, k, pixel_ids), None
+
+    accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
+                            jnp.arange(spp))
+    return (accum / spp).reshape(camera.height, camera.width, 3)

@@ -1,0 +1,440 @@
+"""Structure-of-arrays scene representation + host-side builder.
+
+TPU re-design of the reference's pointer-graph scene (shared_ptr<hittable>
+trees, src/hittable_list.h, src/hittable.h instancing wrappers): every
+primitive/material/texture lives in a flat, padded table addressed by integer
+id, so the whole scene is one JAX pytree that can be jitted over, replicated
+across a device mesh, and differentiated (albedo/emission live in
+``Textures.color0``; geometry in the primitive tables).
+
+Design decisions vs the reference:
+ - translate/rotate_{x,y,z} wrappers (src/hittable.h:67-293) are *folded into
+   primitive parameters at build time* — a rotated/translated quad is still a
+   quad; a rotated box boundary becomes an oriented-box volume.
+ - materials are referenced by integer id (breaking the L3->L2 dependency
+   cycle noted in SURVEY.md §1).
+ - ``box()`` (src/quad.h:91-112) becomes six table rows.
+ - constant-density volumes (src/volumne.h) store their convex boundary
+   analytically (oriented box or sphere) instead of wrapping another hittable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from cpu_ray_tracing_implementation_tpu.ops import noise as noise_ops
+
+# material type codes (src/material.h concrete classes)
+MAT_LAMBERTIAN = 0
+MAT_METAL = 1
+MAT_DIELECTRIC = 2
+MAT_GLOSS = 3
+MAT_ISOTROPIC = 4
+MAT_DIFFUSE_LIGHT = 5
+
+# texture type codes (src/texture.h concrete classes)
+TEX_SOLID = 0
+TEX_CHECKER = 1
+TEX_PICTURE = 2
+TEX_PERLIN = 3
+TEX_VALUE = 4
+TEX_WORLEY = 5
+TEX_VORONOI = 6
+
+# volume boundary kinds
+VOL_BOX = 0
+VOL_SPHERE = 1
+
+
+@struct.dataclass
+class Spheres:
+    c0: jnp.ndarray      # [S,3] center at time 0
+    c1: jnp.ndarray      # [S,3] center at time 1 (== c0 for static; motion blur src/sphere.h:25)
+    rad: jnp.ndarray     # [S]
+    mat: jnp.ndarray     # [S] int32
+    active: jnp.ndarray  # [S] bool (False on padding rows)
+
+
+@struct.dataclass
+class Quads:
+    corner: jnp.ndarray  # [Q,3]
+    eu: jnp.ndarray      # [Q,3] edge u
+    ev: jnp.ndarray      # [Q,3] edge v
+    mat: jnp.ndarray     # [Q] int32
+    active: jnp.ndarray  # [Q] bool
+
+
+@struct.dataclass
+class Triangles:
+    v0: jnp.ndarray      # [T,3]
+    v1: jnp.ndarray      # [T,3]
+    v2: jnp.ndarray      # [T,3]
+    mat: jnp.ndarray     # [T] int32
+    active: jnp.ndarray  # [T] bool
+
+
+@struct.dataclass
+class Volumes:
+    kind: jnp.ndarray    # [V] int32: VOL_BOX | VOL_SPHERE
+    center: jnp.ndarray  # [V,3]
+    half: jnp.ndarray    # [V,3] half extents (sphere: radius in [:,0])
+    rot: jnp.ndarray     # [V,3,3] object->world rotation
+    neg_inv_density: jnp.ndarray  # [V]  -1/density (src/volumne.h:36)
+    mat: jnp.ndarray     # [V] int32 (an isotropic material)
+    active: jnp.ndarray  # [V] bool
+
+
+@struct.dataclass
+class Materials:
+    mtype: jnp.ndarray      # [M] int32
+    tex: jnp.ndarray        # [M] int32 texture id (albedo or emission)
+    fuzz: jnp.ndarray       # [M] metal fuzz
+    ior: jnp.ndarray        # [M] dielectric refraction index
+    smoothness: jnp.ndarray # [M] gloss smoothness
+    spec_prob: jnp.ndarray  # [M] gloss specular probability
+
+
+@struct.dataclass
+class Textures:
+    ttype: jnp.ndarray     # [X] int32
+    color0: jnp.ndarray    # [X,3] solid color / checker even
+    color1: jnp.ndarray    # [X,3] checker odd
+    scale: jnp.ndarray     # [X] checker cell width / perlin scale
+    image_id: jnp.ndarray  # [X] int32 index into Scene.images
+
+
+@struct.dataclass
+class NoiseTables:
+    perlin_grad: jnp.ndarray  # [256,3]
+    perlin_perm: jnp.ndarray  # [256] int32
+    value_grid: jnp.ndarray   # [res,res,res]
+
+
+@struct.dataclass
+class Scene:
+    spheres: Spheres
+    quads: Quads
+    tris: Triangles
+    volumes: Volumes
+    materials: Materials
+    textures: Textures
+    noise: NoiseTables
+    images: tuple          # tuple of [h,w,3] float arrays (static length)
+    lights: jnp.ndarray    # [L] int32 quad indices used for MIS light sampling
+    background: int = struct.field(pytree_node=False, default=-1)  # texture id or -1
+    # static feature flags: lets the integrator skip texture/volume branches
+    # the scene never uses (shapes are static, so this is trace-time constant)
+    tex_types_used: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def n_volumes(self) -> int:
+        return int(self.volumes.kind.shape[0])
+
+    @property
+    def has_lights(self) -> bool:
+        return int(self.lights.shape[0]) > 0
+
+
+def _rot_matrix(axis: str, degrees: float) -> np.ndarray:
+    """Object->world rotation matching reference rotate_{x,y,z}
+    (src/hittable.h:93-293): [c, s; -s, c] on the two non-axis coordinates."""
+    th = math.radians(degrees)
+    c, s = math.cos(th), math.sin(th)
+    m = np.eye(3)
+    ij = {"x": (1, 2), "y": (0, 2), "z": (0, 1)}[axis]
+    i, j = ij
+    m[i, i] = c
+    m[i, j] = s
+    m[j, i] = -s
+    m[j, j] = c
+    return m
+
+
+def _apply_instance(points: np.ndarray, rotate, translate, is_vector: bool = False) -> np.ndarray:
+    """Fold a rotate-then-translate instance transform into point/vector data.
+
+    ``rotate``: None or (axis, degrees) or list of them, applied innermost
+    first (matching translate(rotate_y(obj)) nesting in the reference scenes).
+    """
+    out = np.asarray(points, np.float64)
+    if rotate is not None:
+        rots = [rotate] if isinstance(rotate, tuple) else list(rotate)
+        for axis, deg in rots:
+            out = out @ _rot_matrix(axis, deg).T
+    if translate is not None and not is_vector:
+        out = out + np.asarray(translate, np.float64)
+    return out
+
+
+class SceneBuilder:
+    """Accumulates python-side lists; ``build()`` emits padded device tables."""
+
+    def __init__(self, seed: int = 0, value_noise_resolution: int = 10):
+        self._sph = []   # (c0, c1, rad, mat)
+        self._quads = []  # (corner, eu, ev, mat)
+        self._tris = []   # (v0, v1, v2, mat)
+        self._vols = []   # (kind, center, half, rot, density, mat)
+        self._mats = []   # dict rows
+        self._texs = []   # dict rows
+        self._imgs = []   # np arrays
+        self._lights = []
+        self._background = -1
+        self._seed = seed
+        self._value_res = value_noise_resolution
+
+    # ---------------- textures ----------------
+    def _tex_row(self, **kw) -> int:
+        row = dict(ttype=TEX_SOLID, color0=(0, 0, 0), color1=(0, 0, 0), scale=1.0, image_id=0)
+        row.update(kw)
+        self._texs.append(row)
+        return len(self._texs) - 1
+
+    def solid(self, color) -> int:
+        return self._tex_row(ttype=TEX_SOLID, color0=tuple(color))
+
+    def checker(self, odd, even, scale: float) -> int:
+        """3-D position-based checker (src/texture.h:39-63)."""
+        return self._tex_row(ttype=TEX_CHECKER, color0=tuple(even), color1=tuple(odd), scale=scale)
+
+    def picture(self, image: np.ndarray) -> int:
+        """Nearest-neighbor image texture, v flipped, /256 scale
+        (src/texture.h:65-78). ``image``: [h,w,3] float in [0,255]-byte scale."""
+        img = np.ascontiguousarray(np.asarray(image, np.float32))
+        assert img.ndim == 3 and img.shape[-1] == 3, img.shape
+        self._imgs.append(img)
+        return self._tex_row(ttype=TEX_PICTURE, image_id=len(self._imgs) - 1)
+
+    def perlin(self, scale: float) -> int:
+        return self._tex_row(ttype=TEX_PERLIN, scale=scale)
+
+    def value(self, resolution: int) -> int:
+        self._value_res = max(self._value_res, int(resolution))
+        return self._tex_row(ttype=TEX_VALUE)
+
+    def worley(self) -> int:
+        return self._tex_row(ttype=TEX_WORLEY)
+
+    def voronoi(self) -> int:
+        return self._tex_row(ttype=TEX_VORONOI)
+
+    def _as_tex(self, tex_or_color) -> int:
+        if isinstance(tex_or_color, (int, np.integer)):
+            return int(tex_or_color)
+        return self.solid(tex_or_color)
+
+    # ---------------- materials ----------------
+    def _mat_row(self, **kw) -> int:
+        row = dict(mtype=MAT_LAMBERTIAN, tex=0, fuzz=0.0, ior=1.0, smoothness=0.0, spec_prob=0.0)
+        row.update(kw)
+        self._mats.append(row)
+        return len(self._mats) - 1
+
+    def lambertian(self, tex_or_color) -> int:
+        return self._mat_row(mtype=MAT_LAMBERTIAN, tex=self._as_tex(tex_or_color))
+
+    def metal(self, tex_or_color, fuzz: float = 0.0) -> int:
+        return self._mat_row(mtype=MAT_METAL, tex=self._as_tex(tex_or_color),
+                             fuzz=float(np.clip(fuzz, 0.0, 1.0)))
+
+    def dielectric(self, ior: float, tex_or_color=(1.0, 1.0, 1.0)) -> int:
+        return self._mat_row(mtype=MAT_DIELECTRIC, tex=self._as_tex(tex_or_color), ior=float(ior))
+
+    def gloss(self, tex_or_color, smoothness: float, spec_prob: float) -> int:
+        return self._mat_row(mtype=MAT_GLOSS, tex=self._as_tex(tex_or_color),
+                             smoothness=float(np.clip(smoothness, 0.0, 1.0)),
+                             spec_prob=float(spec_prob))
+
+    def isotropic(self, tex_or_color) -> int:
+        return self._mat_row(mtype=MAT_ISOTROPIC, tex=self._as_tex(tex_or_color))
+
+    def diffuse_light(self, tex_or_color) -> int:
+        return self._mat_row(mtype=MAT_DIFFUSE_LIGHT, tex=self._as_tex(tex_or_color))
+
+    # ---------------- primitives ----------------
+    def sphere(self, center, radius: float, mat: int) -> int:
+        c = np.asarray(center, np.float64)
+        self._sph.append((c, c, max(0.0, float(radius)), int(mat)))
+        return len(self._sph) - 1
+
+    def moving_sphere(self, center0, center1, radius: float, mat: int) -> int:
+        self._sph.append((np.asarray(center0, np.float64), np.asarray(center1, np.float64),
+                          max(0.0, float(radius)), int(mat)))
+        return len(self._sph) - 1
+
+    def quad(self, corner, u, v, mat: int, rotate=None, translate=None) -> int:
+        c = _apply_instance(np.asarray(corner, np.float64), rotate, translate)
+        eu = _apply_instance(np.asarray(u, np.float64), rotate, None, is_vector=True)
+        ev = _apply_instance(np.asarray(v, np.float64), rotate, None, is_vector=True)
+        self._quads.append((c, eu, ev, int(mat)))
+        return len(self._quads) - 1
+
+    def box(self, a, b, mat: int, rotate=None, translate=None) -> list:
+        """Axis-aligned box as six quads (src/quad.h:91-112), with optional
+        folded rotate/translate instance transform."""
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        mn, mx = np.minimum(a, b), np.maximum(a, b)
+        dx = np.array([mx[0] - mn[0], 0, 0])
+        dy = np.array([0, mx[1] - mn[1], 0])
+        dz = np.array([0, 0, mx[2] - mn[2]])
+        faces = [
+            ((mn[0], mn[1], mx[2]), dy, dx),    # front
+            ((mx[0], mn[1], mx[2]), dy, -dz),   # right
+            ((mx[0], mn[1], mn[2]), dy, -dx),   # back
+            ((mn[0], mn[1], mn[2]), dy, dz),    # left
+            ((mn[0], mx[1], mx[2]), -dz, dx),   # top
+            ((mn[0], mn[1], mn[2]), dz, dx),    # bottom
+        ]
+        return [self.quad(c, u, v, mat, rotate=rotate, translate=translate) for c, u, v in faces]
+
+    def triangle(self, p0, p1, p2, mat: int, rotate=None, translate=None) -> int:
+        pts = _apply_instance(np.stack([np.asarray(p, np.float64) for p in (p0, p1, p2)]),
+                              rotate, translate)
+        self._tris.append((pts[0], pts[1], pts[2], int(mat)))
+        return len(self._tris) - 1
+
+    def triangles(self, verts: np.ndarray, mat: int, rotate=None, translate=None):
+        """Bulk add [T,3,3] triangle vertices (glTF meshes, main.cc:345-498)."""
+        verts = _apply_instance(np.asarray(verts, np.float64).reshape(-1, 3),
+                                rotate, translate).reshape(-1, 3, 3)
+        for t in verts:
+            self._tris.append((t[0], t[1], t[2], int(mat)))
+
+    def volume_box(self, a, b, density: float, tex_or_color, rotate=None, translate=None):
+        """Constant-density medium in a (possibly rotated) box boundary
+        (src/volumne.h + the smoke boxes in main.cc:227-283)."""
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        center = (a + b) / 2.0
+        half = np.abs(b - a) / 2.0
+        rot = np.eye(3)
+        if rotate is not None:
+            rots = [rotate] if isinstance(rotate, tuple) else list(rotate)
+            for axis, deg in rots:
+                rot = _rot_matrix(axis, deg) @ rot
+        center = rot @ center
+        if translate is not None:
+            center = center + np.asarray(translate, np.float64)
+        mat = self.isotropic(tex_or_color)
+        self._vols.append((VOL_BOX, center, half, rot, float(density), mat))
+        return len(self._vols) - 1
+
+    def volume_sphere(self, center, radius: float, density: float, tex_or_color):
+        mat = self.isotropic(tex_or_color)
+        self._vols.append((VOL_SPHERE, np.asarray(center, np.float64),
+                           np.array([radius, radius, radius]), np.eye(3), float(density), mat))
+        return len(self._vols) - 1
+
+    def light(self, quad_id: int):
+        """Register a quad as an MIS-sampled light (the ``light`` argument to
+        camera::render, src/camera.h:135, src/main.cc:224)."""
+        self._lights.append(int(quad_id))
+
+    def set_background(self, tex_id: int):
+        self._background = int(tex_id)
+
+    # ---------------- build ----------------
+    def build(self) -> Scene:
+        f32 = np.float32
+
+        def stack3(rows, idx):
+            if rows:
+                return np.stack([np.asarray(r[idx], f32) for r in rows])
+            return np.zeros((0, 3), f32)
+
+        def col(rows, idx, dtype=f32):
+            return np.array([r[idx] for r in rows], dtype) if rows else np.zeros((0,), dtype)
+
+        def pad(arr, n, fill=0):
+            """Pad leading axis to n rows."""
+            if arr.shape[0] >= n:
+                return arr
+            pad_shape = (n - arr.shape[0],) + arr.shape[1:]
+            return np.concatenate([arr, np.full(pad_shape, fill, arr.dtype)], axis=0)
+
+        def table(rows, specs, n_min=1):
+            n = max(n_min, len(rows))
+            out = []
+            for idx, dtype, fill in specs:
+                if dtype == "vec3":
+                    a = pad(stack3(rows, idx), n, fill)
+                elif dtype == "mat3":
+                    a = (np.stack([np.asarray(r[idx], f32) for r in rows])
+                         if rows else np.zeros((0, 3, 3), f32))
+                    a = pad(a, n, fill)
+                else:
+                    a = pad(col(rows, idx, dtype), n, fill)
+                out.append(jnp.asarray(a))
+            active = np.zeros((n,), bool)
+            active[: len(rows)] = True
+            out.append(jnp.asarray(active))
+            return out
+
+        sph = Spheres(*table(self._sph, [(0, "vec3", 0), (1, "vec3", 0), (2, f32, 0), (3, np.int32, 0)]))
+        qds = Quads(*table(self._quads, [(0, "vec3", 0), (1, "vec3", 0), (2, "vec3", 0), (3, np.int32, 0)]))
+        # pad edge vectors of inactive quads to unit axes so cross products stay finite
+        tri = Triangles(*table(self._tris, [(0, "vec3", 0), (1, "vec3", 0), (2, "vec3", 0), (3, np.int32, 0)]))
+
+        vol_rows = self._vols
+        n_v = max(1, len(vol_rows))
+        vols = Volumes(
+            kind=jnp.asarray(pad(col(vol_rows, 0, np.int32), n_v)),
+            center=jnp.asarray(pad(stack3(vol_rows, 1), n_v)),
+            half=jnp.asarray(pad(stack3(vol_rows, 2), n_v, 1)),
+            rot=jnp.asarray(pad(np.stack([np.asarray(r[3], f32) for r in vol_rows])
+                                if vol_rows else np.zeros((0, 3, 3), f32), n_v)),
+            neg_inv_density=jnp.asarray(pad(np.array([-1.0 / r[4] for r in vol_rows], f32), n_v, -1)),
+            mat=jnp.asarray(pad(col(vol_rows, 5, np.int32), n_v)),
+            active=jnp.asarray(np.arange(n_v) < len(vol_rows)),
+        )
+
+        if not self._mats:
+            self._mat_row()
+        mats = Materials(
+            mtype=jnp.asarray(np.array([m["mtype"] for m in self._mats], np.int32)),
+            tex=jnp.asarray(np.array([m["tex"] for m in self._mats], np.int32)),
+            fuzz=jnp.asarray(np.array([m["fuzz"] for m in self._mats], f32)),
+            ior=jnp.asarray(np.array([m["ior"] for m in self._mats], f32)),
+            smoothness=jnp.asarray(np.array([m["smoothness"] for m in self._mats], f32)),
+            spec_prob=jnp.asarray(np.array([m["spec_prob"] for m in self._mats], f32)),
+        )
+
+        if not self._texs:
+            self._tex_row()
+        texs = Textures(
+            ttype=jnp.asarray(np.array([t["ttype"] for t in self._texs], np.int32)),
+            color0=jnp.asarray(np.array([t["color0"] for t in self._texs], f32)),
+            color1=jnp.asarray(np.array([t["color1"] for t in self._texs], f32)),
+            scale=jnp.asarray(np.array([t["scale"] for t in self._texs], f32)),
+            image_id=jnp.asarray(np.array([t["image_id"] for t in self._texs], np.int32)),
+        )
+
+        grad, perm = noise_ops.make_perlin_tables(self._seed)
+        noise = NoiseTables(
+            perlin_grad=jnp.asarray(grad),
+            perlin_perm=jnp.asarray(perm),
+            value_grid=jnp.asarray(noise_ops.make_value_grid(self._value_res, self._seed + 1)),
+        )
+
+        images = tuple(jnp.asarray(im) for im in self._imgs) or (jnp.zeros((1, 1, 3), f32),)
+
+        tex_types_used = tuple(sorted({t["ttype"] for t in self._texs}))
+
+        return Scene(
+            spheres=sph,
+            quads=qds,
+            tris=tri,
+            volumes=vols,
+            materials=mats,
+            textures=texs,
+            noise=noise,
+            images=images,
+            lights=jnp.asarray(np.array(self._lights, np.int32)),
+            background=self._background,
+            tex_types_used=tex_types_used,
+        )

@@ -1,0 +1,168 @@
+"""Material scatter/emission as masked-lane batch functions.
+
+TPU re-design of the reference's virtual material dispatch
+(src/material.h:36-219): every ray evaluates all material families the scene
+contains and selects by type id. The kDetermined / kRandom split of
+``scatter_record`` (src/material.h:28-34) becomes two precomputed candidate
+(direction, weight) pairs selected per lane:
+
+ - kDetermined (metal, dielectric, gloss-specular): weight = attenuation,
+   direction fixed by the material (src/camera.h:210-214).
+ - kRandom (lambertian, isotropic, gloss-diffuse): direction drawn from the
+   material pdf or (with 50% probability when a light is registered) from the
+   light's surface — the reference's dual_pdf MIS (src/pdf.h:48-61); weight =
+   attenuation * p_scattered / pdf_value (src/camera.h:217-240).
+
+Random numbers arrive as a [R, NSLOT(+V)] uniform block with a fixed slot
+layout shared with the test oracle:
+  0: dielectric reflect / gloss specular decision
+  1,2: primary direction sample (cosine or uniform-sphere)
+  3: dual-pdf 50/50 pick
+  4,5: light surface point
+  6,7: metal fuzz sphere direction
+  8: light index choice
+  9..: per-volume scatter distances (consumed by ops.intersect)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cpu_ray_tracing_implementation_tpu.ops import sampling as smp
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
+from cpu_ray_tracing_implementation_tpu.models import scene as sc
+
+NSLOT = 9
+
+SLOT_DECISION = 0
+SLOT_DIR1, SLOT_DIR2 = 1, 2
+SLOT_MIS = 3
+SLOT_LIGHT_U, SLOT_LIGHT_V = 4, 5
+SLOT_FUZZ1, SLOT_FUZZ2 = 6, 7
+SLOT_LIGHT_PICK = 8
+SLOT_VOLUME0 = 9
+
+
+def _safe_div(num, den, fallback=0.0):
+    ok = jnp.abs(den) > 1e-20
+    return jnp.where(ok, num / jnp.where(ok, den, 1.0), fallback)
+
+
+def emitted(scene, hit) -> jnp.ndarray:
+    """Front-face-only emission of diffuse_light (src/material.h:211-214)."""
+    mt = scene.materials.mtype[hit.mat]
+    tex_id = scene.materials.tex[hit.mat]
+    is_light = (mt == sc.MAT_DIFFUSE_LIGHT) & hit.front & hit.valid
+    color = eval_texture(scene, tex_id, hit.u, hit.v, hit.p)
+    return jnp.where(is_light[:, None], color, 0.0)
+
+
+def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
+    """Unnormalized direction to a uniform point on a (uniformly chosen)
+    light quad (src/quad.h:75-78, src/hittable_list.h:39-50)."""
+    n_lights = scene.lights.shape[0]
+    lidx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
+    qid = scene.lights[lidx]
+    corner = scene.quads.corner[qid]
+    eu = scene.quads.eu[qid]
+    ev = scene.quads.ev[qid]
+    p = corner + u1[:, None] * eu + u2[:, None] * ev
+    return p - origin
+
+
+def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of the light mixture: mean over light quads of
+    dist^2 / (|cos| * area) when the ray hits the quad (src/quad.h:66-73)."""
+    qid = scene.lights                                  # [L]
+    corner = scene.quads.corner[qid]                    # [L,3]
+    eu = scene.quads.eu[qid]
+    ev = scene.quads.ev[qid]
+    n = vm.cross(eu, ev)
+    area = vm.length(n)                                 # [L]
+    unorm = vm.normalize(n)
+
+    denom = vm.dot(direction[:, None, :], unorm[None, :, :])           # [R,L]
+    t = _safe_div(vm.dot(unorm, corner)[None, :]
+                  - vm.dot(unorm[None, :, :], origin[:, None, :]), denom, jnp.inf)
+    p = origin[:, None, :] + t[..., None] * direction[:, None, :]
+    q = p - corner[None, :, :]
+    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]
+    a = vm.dot(w[None], vm.cross(q, ev[None]))
+    b = vm.dot(w[None], vm.cross(eu[None], q))
+    hit_ok = (t >= 1e-3) & jnp.isfinite(t) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+
+    dist_sq = t * t * vm.length_sq(direction)[:, None]
+    cosine = jnp.abs(vm.dot(vm.normalize(direction)[:, None, :], unorm[None, :, :]))
+    pdf = jnp.where(hit_ok, _safe_div(dist_sq, cosine * area[None, :], 0.0), 0.0)
+    return jnp.mean(pdf, axis=-1)
+
+
+def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
+    """One scatter decision per lane.
+
+    Returns (new_dir [R,3], weight [R,3], continues [R] bool). Lanes whose
+    material does not scatter (diffuse_light, src/material.h:43 default) get
+    continues=False.
+    """
+    mats = scene.materials
+    mt = mats.mtype[hit.mat]
+    atten = eval_texture(scene, mats.tex[hit.mat], hit.u, hit.v, hit.p)
+    n = hit.normal
+    unit_d = vm.normalize(ray_dir)
+
+    cos_sample = smp.cosine_dir(n, u[:, SLOT_DIR1], u[:, SLOT_DIR2])
+    sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
+    fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
+
+    # --- metal: mirror + fuzz, kDetermined (src/material.h:85-92)
+    metal_dir = vm.normalize(vm.reflect(ray_dir, n)) + mats.fuzz[hit.mat][:, None] * fuzz_vec
+
+    # --- dielectric: Schlick reflect-vs-refract, kDetermined (src/material.h:113-131)
+    ior = mats.ior[hit.mat]
+    ri = jnp.where(hit.front, 1.0 / ior, ior)
+    cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    cant_refract = ri * sin_theta > 1.0
+    must_reflect = cant_refract | (smp.schlick_reflectance(cos_theta, ri) > u[:, SLOT_DECISION])
+    diel_dir = jnp.where(must_reflect[:, None],
+                         vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
+
+    # --- gloss: probabilistic specular lerp, else cosine diffuse (src/material.h:158-173)
+    spec_raw = vm.reflect(ray_dir, n)  # unnormalized, as in the reference
+    gloss_spec_dir = vm.normalize(
+        vm.lerp(mats.smoothness[hit.mat][:, None], cos_sample, spec_raw))
+    gloss_is_spec = u[:, SLOT_DECISION] <= mats.spec_prob[hit.mat]
+
+    is_metal = mt == sc.MAT_METAL
+    is_diel = mt == sc.MAT_DIELECTRIC
+    is_gloss_spec = (mt == sc.MAT_GLOSS) & gloss_is_spec
+    is_det = is_metal | is_diel | is_gloss_spec
+    det_dir = jnp.where(is_metal[:, None], metal_dir,
+                        jnp.where(is_diel[:, None], diel_dir, gloss_spec_dir))
+    det_weight = jnp.where(is_gloss_spec[:, None], jnp.ones_like(atten), atten)
+
+    # --- kRandom lanes: material sample, optional dual-pdf light MIS
+    is_iso = mt == sc.MAT_ISOTROPIC
+    mat_sample = jnp.where(is_iso[:, None], sph_sample, cos_sample)
+
+    if scene.has_lights:
+        ldir = light_sample(scene, hit.p, u[:, SLOT_LIGHT_PICK],
+                            u[:, SLOT_LIGHT_U], u[:, SLOT_LIGHT_V])
+        pick_light = u[:, SLOT_MIS] < 0.5
+        rnd_dir = jnp.where(pick_light[:, None], ldir, mat_sample)
+        mat_pdf = jnp.where(is_iso, smp.sphere_pdf(rnd_dir), smp.cosine_pdf(n, rnd_dir))
+        pdf_val = 0.5 * mat_pdf + 0.5 * light_pdf(scene, hit.p, rnd_dir)
+    else:
+        rnd_dir = mat_sample
+        pdf_val = jnp.where(is_iso, smp.sphere_pdf(rnd_dir), smp.cosine_pdf(n, rnd_dir))
+
+    # p_scattered (src/material.h:69-72, :200): cos/pi or 1/4pi
+    p_scat = jnp.where(is_iso, smp.INV_4PI, smp.cosine_pdf(n, rnd_dir))
+    rnd_weight = atten * _safe_div(p_scat, pdf_val, 0.0)[:, None]
+
+    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
+    continues = hit.valid & (is_det | is_rand)
+    new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
+    weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
+    return new_dir, weight, continues

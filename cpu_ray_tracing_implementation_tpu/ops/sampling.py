@@ -1,0 +1,83 @@
+"""Direction samplers and pdf evaluators, driven by explicit uniforms.
+
+Every sampler takes its random numbers as explicit [..., ] uniform arrays in
+[0, 1) instead of drawing from global state (the reference uses a shared
+``std::rand()`` from all threads, src/utility.h:20 — a data race we replace
+with counter-based ``jax.random`` streams whose draws are laid out in fixed
+slots so a NumPy oracle can replay them exactly; see tests/oracle.py).
+
+Semantics match reference src/utility.h:30-69 and src/pdf.h.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+
+PI = 3.14159265358979323846
+INV_4PI = 1.0 / (4.0 * PI)
+
+
+def unit_sphere_dir(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Uniform direction on the unit sphere (src/utility.h:30-43).
+
+    The reference's ``random_in_unit_sphere`` actually returns a point *on*
+    the sphere (inverse-CDF in cos(theta)); we keep that exact construction:
+    y is the polar axis.
+    """
+    cos_theta = 1.0 - 2.0 * u1
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    phi = 2.0 * PI * u2
+    return jnp.stack(
+        [sin_theta * jnp.cos(phi), cos_theta, sin_theta * jnp.sin(phi)], axis=-1
+    )
+
+
+def cosine_local_dir(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted hemisphere direction in ONB-local frame, y up
+    (src/utility.h:62-69 ``random_cosine_direction`` with y = sqrt(1-r2))."""
+    phi = 2.0 * PI * u1
+    sq_r2 = jnp.sqrt(u2)
+    return jnp.stack(
+        [jnp.cos(phi) * sq_r2, jnp.sqrt(jnp.maximum(1.0 - u2, 0.0)), jnp.sin(phi) * sq_r2],
+        axis=-1,
+    )
+
+
+def cosine_dir(normal: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted direction about ``normal`` (src/pdf.h:34-45)."""
+    x, y, z = vm.onb_from_normal(normal)
+    return vm.onb_transform(cosine_local_dir(u1, u2), x, y, z)
+
+
+def disk_sample(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Uniform point in the unit disk, z = 0.
+
+    Documented divergence: the reference rejection-samples
+    (src/utility.h:47-53); we use the closed-form sqrt/angle map (identical
+    distribution, fixed uniform consumption — required for SPMD).
+    """
+    r = jnp.sqrt(u1)
+    phi = 2.0 * PI * u2
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), jnp.zeros_like(r)], axis=-1)
+
+
+def cosine_pdf(normal: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """pdf of the cosine hemisphere sampler: max(0, cos(theta))/pi
+    (src/pdf.h:37-40). ``normal`` must be unit; ``direction`` need not be."""
+    cos_theta = vm.dot(vm.normalize(direction), normal)
+    return jnp.maximum(0.0, cos_theta / PI)
+
+
+def sphere_pdf(direction: jnp.ndarray) -> jnp.ndarray:
+    """pdf of the uniform sphere sampler: 1/(4 pi) (src/pdf.h:15-20)."""
+    return jnp.full(direction.shape[:-1], INV_4PI, direction.dtype)
+
+
+def schlick_reflectance(cosine: jnp.ndarray, refraction_index: jnp.ndarray) -> jnp.ndarray:
+    """Schlick's approximation (src/material.h:135-139)."""
+    r0 = (1.0 - refraction_index) / (1.0 + refraction_index)
+    r0 = r0 * r0
+    one_minus = 1.0 - cosine
+    return r0 + (1.0 - r0) * one_minus ** 5
