@@ -47,10 +47,24 @@ def background_color(scene, dirs: jnp.ndarray) -> jnp.ndarray:
     return eval_texture(scene, tex_id, u, v, unit_d)
 
 
+def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
+    """[R, nslot] uniforms from counter-based per-ray keys.
+
+    Folding the key by *ray id* (not batch position) makes the stream
+    invariant to how the ray batch is split across devices or steps — the
+    property that lets sharded and single-chip renders match bitwise
+    (replacing the reference's shared std::rand() stream, src/utility.h:20).
+    """
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, ray_ids)
+    return jax.vmap(lambda k: jax.random.uniform(k, (nslot,)))(keys)
+
+
 def render_rays(scene, org, dirs, time, key, max_depth: int,
-                uniforms=None) -> jnp.ndarray:
+                ray_ids=None, uniforms=None) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
+    ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
+    batch position; pass pixel ids for shard-invariant streams).
     ``uniforms``: optional precomputed [max_depth, R, NSLOT+V] block (used by
     the parity tests to replay the exact stream into a NumPy oracle);
     normally drawn per bounce from ``key``.
@@ -58,12 +72,14 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
     nslot = mat_ops.NSLOT + n_vol
+    if ray_ids is None:
+        ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
 
     def bounce(carry, inputs):
         org, dirs, time, throughput, radiance, alive = carry
         if uniforms is None:
             bounce_idx = inputs
-            u = jax.random.uniform(jax.random.fold_in(key, bounce_idx), (n_rays, nslot))
+            u = _per_ray_uniforms(jax.random.fold_in(key, bounce_idx), ray_ids, nslot)
         else:
             u = inputs
 
@@ -100,11 +116,16 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
 
 
 def render_sample(scene, camera, key, pixel_ids) -> jnp.ndarray:
-    """One sample of every pixel in ``pixel_ids``: raygen + integrate."""
+    """One sample of every pixel in ``pixel_ids``: raygen + integrate.
+
+    All randomness is keyed by pixel id, so any partition of the pixel set
+    (tiles across chips, chunks across steps) produces identical samples.
+    """
     k_cam, k_path = jax.random.split(key)
-    u_cam = jax.random.uniform(k_cam, (pixel_ids.shape[0], cam_mod.N_CAM_SLOTS))
+    u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
-    return render_rays(scene, org, dirs, time, k_path, camera.max_depth)
+    return render_rays(scene, org, dirs, time, k_path, camera.max_depth,
+                       ray_ids=pixel_ids)
 
 
 @functools.partial(jax.jit, static_argnames=("spp",))

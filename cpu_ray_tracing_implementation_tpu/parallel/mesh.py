@@ -1,0 +1,172 @@
+"""Multi-chip rendering: shard_map over a jax.sharding.Mesh.
+
+TPU-native replacement for the reference's row-parallel thread fan-out
+(reference: src/camera.h:158 ``std::for_each(std::execution::par_unseq)``
+over row indices): pixels shard across the ``chips`` mesh axis, the scene
+tables replicate, per-device wavefronts render independently, and the final
+image assembles through the jit output sharding (XLA all_gather over ICI).
+Sample-axis parallelism (`render_image_spp_sharded`) instead splits spp
+across chips and `psum`s partial radiance — the analog of the reference
+accumulating samples serially per pixel (src/camera.h:165-168).
+
+The gradient path all-reduces parameter gradients with `psum`, which is the
+collective the reference has no counterpart for (it has no gradients at all).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
+from cpu_ray_tracing_implementation_tpu.models import integrator
+
+AXIS = "chips"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return ((n + mult - 1) // mult) * mult
+
+
+def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
+    """Full image [H,W,3]; pixels sharded across the mesh, scene replicated.
+
+    Equivalent to ``integrator.render_image`` on one chip (same estimator,
+    same per-pixel RNG fold), with the pixel axis split over devices.
+    """
+    spp = camera.spp if spp is None else spp
+    n_dev = mesh.devices.size
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_dev)
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, spp_: int):
+        pixel_ids = jnp.arange(n_padded, dtype=jnp.int32)
+        # padding lanes re-render pixel 0; discarded after reshape
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(AXIS)),
+            out_specs=P(AXIS),
+        )
+        def shard_render(scene, camera, key, pids):
+            def one_sample(accum, s):
+                k = jax.random.fold_in(key, s)
+                return accum + integrator.render_sample(scene, camera, k, pids), None
+
+            accum, _ = jax.lax.scan(
+                one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
+                jnp.arange(spp_))
+            return accum / spp_
+
+        flat = shard_render(scene, camera, key, pixel_ids)
+        return flat[:n_pix].reshape(camera.height, camera.width, 3)
+
+    return run(scene, camera, key, spp)
+
+
+def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
+    """Full image; the *sample* axis sharded: each chip renders spp/n_dev
+    samples of every pixel and partial radiance is psum-reduced over ICI."""
+    spp = camera.spp if spp is None else spp
+    n_dev = mesh.devices.size
+    spp_padded = _pad_to(spp, n_dev)
+    per_dev = spp_padded // n_dev
+
+    @functools.partial(jax.jit, static_argnames=("per_dev_",))
+    def run(scene, camera, key, per_dev_: int):
+        n_pix = camera.width * camera.height
+        pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+        dev_ids = jnp.arange(n_dev, dtype=jnp.int32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(), P(AXIS)),
+            out_specs=P(),
+        )
+        def shard_render(scene, camera, key, pids, dev_id):
+            base = dev_id[0] * per_dev_
+
+            def one_sample(accum, s):
+                k = jax.random.fold_in(key, base + s)
+                return accum + integrator.render_sample(scene, camera, k, pids), None
+
+            accum, _ = jax.lax.scan(
+                one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
+                jnp.arange(per_dev_))
+            return jax.lax.psum(accum, AXIS)
+
+        flat = shard_render(scene, camera, key, pixel_ids, dev_ids)
+        return (flat / (per_dev_ * n_dev)).reshape(camera.height, camera.width, 3)
+
+    return run(scene, camera, key, per_dev)
+
+
+def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
+                                 spp: int | None = None):
+    """(loss, grads) of mean-squared pixel error w.r.t. the differentiable
+    scene parameters (texture colors — albedo and emission live in
+    ``Textures.color0/color1``), pixels sharded over the mesh, gradients
+    psum-all-reduced over ICI.
+
+    This is the "training step" of the differentiable renderer: the TPU
+    equivalent of a DP gradient step, with the scene parameters as the model.
+    Returns (loss, grads) where grads is a dict {color0, color1}.
+    """
+    spp = camera.spp if spp is None else spp
+    n_dev = mesh.devices.size
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_dev)
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, target, spp_: int):
+        pixel_ids = jnp.arange(n_padded, dtype=jnp.int32)
+        target_flat = jnp.concatenate(
+            [target.reshape(-1, 3),
+             jnp.zeros((n_padded - n_pix, 3), target.dtype)], axis=0)
+        valid = (jnp.arange(n_padded) < n_pix).astype(jnp.float32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()),
+        )
+        def shard_step(scene, camera, key, pids, tgt_and_valid):
+            tgt, vmask = tgt_and_valid[:, :3], tgt_and_valid[:, 3]
+
+            def local_loss(params):
+                s = scene.replace(textures=scene.textures.replace(
+                    color0=params["color0"], color1=params["color1"]))
+
+                def one_sample(accum, samp):
+                    k = jax.random.fold_in(key, samp)
+                    return accum + integrator.render_sample(s, camera, k, pids), None
+
+                accum, _ = jax.lax.scan(
+                    one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
+                    jnp.arange(spp_))
+                img = accum / spp_
+                sq = jnp.sum((img - tgt) ** 2, axis=-1) * vmask
+                return jnp.sum(sq)
+
+            params = {"color0": scene.textures.color0, "color1": scene.textures.color1}
+            loss, grads = jax.value_and_grad(local_loss)(params)
+            loss = jax.lax.psum(loss, AXIS) / n_pix
+            grads = jax.lax.psum(grads, AXIS)
+            return loss, grads
+
+        packed = jnp.concatenate([target_flat, valid[:, None]], axis=-1)
+        return shard_step(scene, camera, key, pixel_ids, packed)
+
+    return run(scene, camera, key, target, spp)

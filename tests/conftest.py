@@ -1,0 +1,29 @@
+"""Test config: force the CPU backend with 8 virtual devices.
+
+This is the standard JAX "fake backend" for exercising pjit/shard_map
+sharding without a real TPU pod (SURVEY.md §4e): the multi-chip tests build a
+jax.sharding.Mesh over 8 host-CPU devices.
+
+Note: this environment's sitecustomize registers an ``axon`` TPU backend and
+forces ``jax_platforms`` via jax.config, so plain JAX_PLATFORMS/XLA_FLAGS env
+vars are not enough — we override through jax.config before first backend use.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: the suite is compile-dominated otherwise
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

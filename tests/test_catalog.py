@@ -1,0 +1,23 @@
+"""Every scene in the 22-scene catalog builds and renders finite pixels at a
+tiny size — the reference's de-facto regression matrix (SURVEY.md §2.2)."""
+
+import jax
+import numpy as np
+import pytest
+
+from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+
+ALL_SCENES = sorted(catalog.SCENES)
+
+
+def test_catalog_has_all_22_scenes():
+    assert len(catalog.SCENES) == 22
+
+
+@pytest.mark.parametrize("name", ALL_SCENES)
+def test_scene_builds_and_renders(name):
+    scene, cam = catalog.SCENES[name](width=12, spp=2, max_depth=3)
+    img = np.asarray(integrator.render_image(scene, cam, jax.random.key(0)))
+    assert img.shape[-1] == 3 and img.shape[0] >= 1
+    assert np.isfinite(img).all(), f"{name} produced non-finite pixels"
+    assert (img >= 0).all(), f"{name} produced negative radiance"

@@ -1,0 +1,62 @@
+"""Multi-chip sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4e).
+
+The TPU replacement for the reference's thread fan-out (src/camera.h:158):
+pixel sharding, spp sharding + psum, and the DP gradient step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return pm.make_mesh()
+
+
+@pytest.fixture(scope="module")
+def tiny_cornell():
+    return catalog.cornell_box(width=16, spp=4, max_depth=3)
+
+
+def test_pixel_sharded_matches_single_device(mesh, tiny_cornell):
+    """Sharding pixels over 8 chips must be bitwise-equivalent math to the
+    single-device render (same per-pixel RNG fold)."""
+    scene, cam = tiny_cornell
+    ref = np.asarray(integrator.render_image(scene, cam, jax.random.key(0)))
+    sh = np.asarray(pm.render_image_sharded(scene, cam, jax.random.key(0), mesh))
+    np.testing.assert_allclose(ref, sh, atol=1e-5)
+
+
+def test_pixel_sharded_nonmultiple_pixel_count(mesh):
+    """15x15 image: 225 pixels does not divide 8 — padding must not corrupt."""
+    scene, cam = catalog.cornell_box(width=15, spp=2, max_depth=3)
+    ref = np.asarray(integrator.render_image(scene, cam, jax.random.key(0)))
+    sh = np.asarray(pm.render_image_sharded(scene, cam, jax.random.key(0), mesh))
+    np.testing.assert_allclose(ref, sh, atol=1e-5)
+
+
+def test_spp_sharded_unbiased(mesh, tiny_cornell):
+    """spp sharding psums partial sums; same expectation as single-device
+    (different sample set, so compare means loosely)."""
+    scene, cam = tiny_cornell
+    ref = np.asarray(integrator.render_image(scene, cam, jax.random.key(0), spp=32))
+    sh = np.asarray(pm.render_image_spp_sharded(scene, cam, jax.random.key(1), mesh, spp=32))
+    assert np.isfinite(sh).all()
+    np.testing.assert_allclose(ref.mean(), sh.mean(), rtol=0.25)
+
+
+def test_grad_step_runs_and_reduces(mesh, tiny_cornell):
+    scene, cam = tiny_cornell
+    target = jnp.zeros((cam.height, cam.width, 3))
+    loss, grads = pm.render_loss_and_grad_sharded(
+        scene, cam, jax.random.key(2), target, mesh, spp=2)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    g = np.asarray(grads["color0"])
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0

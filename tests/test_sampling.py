@@ -1,0 +1,70 @@
+"""Statistical tests for the direction samplers (reference semantics:
+src/utility.h:30-69, src/pdf.h) — SURVEY.md §4(b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpu_ray_tracing_implementation_tpu.ops import sampling as smp
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+
+N = 200_000
+
+
+def _uniforms(n, k, seed=0):
+    u = jax.random.uniform(jax.random.key(seed), (n, k))
+    return [u[:, i] for i in range(k)]
+
+
+def test_unit_sphere_uniform():
+    u1, u2 = _uniforms(N, 2)
+    d = smp.unit_sphere_dir(u1, u2)
+    np.testing.assert_allclose(vm.length(d), 1.0, atol=1e-5)
+    # each component has mean 0 and variance 1/3 for a uniform sphere
+    np.testing.assert_allclose(np.asarray(d).mean(0), 0.0, atol=0.01)
+    np.testing.assert_allclose(np.asarray(d).var(0), 1 / 3, atol=0.01)
+
+
+def test_cosine_dir_distribution():
+    """cos-weighted: E[cos theta] = 2/3, all samples in the upper hemisphere."""
+    u1, u2 = _uniforms(N, 2, seed=1)
+    n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3))
+    d = smp.cosine_dir(n, u1, u2)
+    cos_t = np.asarray(vm.dot(d, n))
+    assert (cos_t >= -1e-6).all()
+    np.testing.assert_allclose(cos_t.mean(), 2 / 3, atol=0.005)
+
+
+def test_cosine_pdf_matches_histogram():
+    """Monte-Carlo check that the sampler density == cosine_pdf: for samples
+    X ~ p, E[f(X)/p(X)] must equal the integral of f over the hemisphere."""
+    u1, u2 = _uniforms(N, 2, seed=2)
+    n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (N, 3))
+    d = smp.cosine_dir(n, u1, u2)
+    pdf = np.asarray(smp.cosine_pdf(n, d))
+    # f = 1 on the hemisphere -> integral = 2 pi
+    est = (1.0 / np.maximum(pdf, 1e-9)).mean()
+    np.testing.assert_allclose(est, 2 * np.pi, rtol=0.02)
+
+
+def test_sphere_pdf_value():
+    d = jnp.ones((4, 3))
+    np.testing.assert_allclose(smp.sphere_pdf(d), 1.0 / (4 * np.pi), rtol=1e-6)
+
+
+def test_disk_sample_uniform():
+    u1, u2 = _uniforms(N, 2, seed=3)
+    p = np.asarray(smp.disk_sample(u1, u2))
+    r = np.linalg.norm(p[:, :2], axis=-1)
+    assert (r <= 1.0 + 1e-6).all()
+    assert np.allclose(p[:, 2], 0.0)
+    # uniform disk: E[r^2] = 1/2
+    np.testing.assert_allclose((r ** 2).mean(), 0.5, atol=0.005)
+
+
+def test_schlick_limits():
+    """R(0 deg, n=1.5) = ((1-1.5)/(2.5))^2 = 0.04; grazing -> 1 (src/material.h:135)."""
+    r0 = smp.schlick_reflectance(jnp.array(1.0), jnp.array(1.5))
+    np.testing.assert_allclose(r0, 0.04, atol=1e-6)
+    r_graze = smp.schlick_reflectance(jnp.array(0.0), jnp.array(1.5))
+    np.testing.assert_allclose(r_graze, 1.0, atol=1e-6)
