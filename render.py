@@ -1,0 +1,104 @@
+"""CLI driver: render any of the 22 catalog scenes.
+
+Replaces the reference's interactive stdin menu (src/main.cc:633-686) with
+argparse flags (the config system the reference README promises but never
+implements — SURVEY.md appendix item 9), while keeping an interactive mode
+(`--interactive`) that mirrors the original prompt flow.
+
+Examples:
+    python render.py cornell_box -o cornell.png
+    python render.py sphereflake --width 400 --spp 50 --format ppm
+    python render.py --list
+    python render.py --interactive        # the reference's stdin flow
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("scene", nargs="?", help="scene name (see --list) or 1-based index")
+    p.add_argument("-o", "--output", default=None, help="output path (.png or .ppm)")
+    p.add_argument("--width", type=int, default=None, help="image width override")
+    p.add_argument("--spp", type=int, default=None, help="samples per pixel override")
+    p.add_argument("--max-depth", type=int, default=None, help="bounce depth override")
+    p.add_argument("--seed", type=int, default=0, help="RNG seed")
+    p.add_argument("--format", choices=("png", "ppm"), default=None,
+                   help="output container (default: from output extension, else png)")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard pixels over all available devices")
+    p.add_argument("--list", action="store_true", help="list scenes and exit")
+    p.add_argument("--interactive", action="store_true",
+                   help="prompt for filename + scene number like the reference")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    from cpu_ray_tracing_implementation_tpu.models import catalog, film, integrator
+
+    names = list(catalog.SCENES)
+
+    if args.list:
+        for i, n in enumerate(names, 1):
+            print(f"{i:2d}  {n}")
+        return 0
+
+    if args.interactive:
+        out = input("Enter Output Filename: ").strip()
+        for i, n in enumerate(names, 1):
+            print(f"{i:2d}. {n}")
+        which = int(input("Enter the scene number: "))
+        args.scene = names[which - 1]
+        args.output = out
+    elif args.scene is None:
+        build_parser().error("scene name required (or --list / --interactive)")
+
+    scene_name = args.scene
+    if scene_name.isdigit():
+        scene_name = names[int(scene_name) - 1]
+    if scene_name not in catalog.SCENES:
+        print(f"unknown scene {scene_name!r}; see --list", file=sys.stderr)
+        return 2
+
+    out = args.output or f"{scene_name}.png"
+    fmt = args.format or ("ppm" if out.lower().endswith(".ppm") else "png")
+
+    scene, cam = catalog.SCENES[scene_name](
+        width=args.width, spp=args.spp, max_depth=args.max_depth)
+    print(f"Rendering {scene_name}: {cam.width}x{cam.height}, "
+          f"{cam.spp} spp, depth {cam.max_depth} on {jax.devices()[0].platform}")
+
+    key = jax.random.key(args.seed)
+    t0 = time.time()
+    if args.sharded and len(jax.devices()) > 1:
+        from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+        img = pm.render_image_sharded(scene, cam, key, pm.make_mesh())
+    else:
+        img = integrator.render_image(scene, cam, key)
+    import numpy as np
+
+    a = np.asarray(img)
+    dt = time.time() - t0
+    rays = cam.width * cam.height * cam.spp
+    print(f"Done in {dt:.2f}s ({rays / dt / 1e6:.2f}M camera rays/s)")
+
+    if fmt == "ppm":
+        film.write_ppm(out, a)
+    else:
+        film.write_png(out, a)
+    print(f"Wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
