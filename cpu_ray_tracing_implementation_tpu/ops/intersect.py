@@ -205,8 +205,10 @@ def volume_sample(org, dirs, vols, tmin, t_surface, u_vol):
     vhit = span_ok & (hit_dist <= dist_inside)
     t_v = jnp.where(vhit, t1c + hit_dist / dlen, INF)
 
+    # min + argmin as two reductions: take_along_axis lowers to a serialized
+    # per-row gather on TPU (~500x slower than the reduction)
     vidx = jnp.argmin(t_v, axis=-1)
-    t_best = jnp.take_along_axis(t_v, vidx[:, None], axis=-1)[:, 0]
+    t_best = jnp.min(t_v, axis=-1)
     return t_best, vidx, jnp.isfinite(t_best)
 
 
@@ -218,9 +220,8 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     ts_t = tri_ts(org, dirs, scene.tris, tmin, tmax)
 
     def best(ts):
-        idx = jnp.argmin(ts, axis=-1)
-        t = jnp.take_along_axis(ts, idx[:, None], axis=-1)[:, 0]
-        return t, idx
+        # two reductions, NOT take_along_axis (serialized row-gather on TPU)
+        return jnp.min(ts, axis=-1), jnp.argmin(ts, axis=-1)
 
     t_s, i_s = best(ts_s)
     t_q, i_q = best(ts_q)
