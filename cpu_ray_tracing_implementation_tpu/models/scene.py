@@ -130,6 +130,10 @@ class Scene:
     # static feature flags: lets the integrator skip texture/volume branches
     # the scene never uses (shapes are static, so this is trace-time constant)
     tex_types_used: tuple = struct.field(pytree_node=False, default=())
+    # real (unpadded) row counts per primitive table: (spheres, quads, tris,
+    # volumes). Tables pad to >=1 row; a zero count lets the integrator drop
+    # that primitive type from the XLA graph entirely.
+    counts: tuple = struct.field(pytree_node=False, default=(-1, -1, -1, -1))
 
     @property
     def n_volumes(self) -> int:
@@ -437,4 +441,5 @@ class SceneBuilder:
             lights=jnp.asarray(np.array(self._lights, np.int32)),
             background=self._background,
             tex_types_used=tex_types_used,
+            counts=(len(self._sph), len(self._quads), len(self._tris), len(self._vols)),
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
 from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 from cpu_ray_tracing_implementation_tpu.ops.sampling import PI
 
@@ -50,12 +51,30 @@ def _in_range(t, tmin, tmax):
 # ------------------------------------------------------------------ spheres
 def sphere_ts(org, dirs, time, sph, tmin, tmax):
     """[R,S] hit parameter (inf = miss). Quadratic as in src/sphere.h:40-74,
-    with the moving-sphere center lerped by ray time (src/sphere.h:83)."""
-    center = sph.c0[None, :, :] + time[:, None, None] * (sph.c1 - sph.c0)[None, :, :]
-    oc = org[:, None, :] - center                       # [R,S,3]
+    with the moving-sphere center lerped by ray time (src/sphere.h:83).
+
+    MXU formulation: every ray-sphere dot product expands into [R,3]@[3,S]
+    contractions against per-sphere constants — the time-lerped center
+    enters linearly (d.c(t) = d.c0 + time * d.(c1-c0)), so motion blur costs
+    two extra matmuls instead of materializing an [R,S,3] center tensor.
+    """
+    dc = sph.c1 - sph.c0                                # [S,3]
+    # d.center(t), org.center(t): [R,S] via matmuls
+    d_c = jnp.einsum("rk,sk->rs", dirs, sph.c0, precision="highest") + time[:, None] * jnp.einsum(
+        "rk,sk->rs", dirs, dc, precision="highest")
+    o_c = jnp.einsum("rk,sk->rs", org, sph.c0, precision="highest") + time[:, None] * jnp.einsum(
+        "rk,sk->rs", org, dc, precision="highest")
+    # |center(t)|^2: per-sphere quadratic in time
+    c0c0 = vm.dot(sph.c0, sph.c0)                       # [S]
+    c0dc = vm.dot(sph.c0, dc)
+    dcdc = vm.dot(dc, dc)
+    cc = (c0c0[None, :] + 2.0 * time[:, None] * c0dc[None, :]
+          + (time * time)[:, None] * dcdc[None, :])    # [R,S]
+
     a = vm.dot(dirs, dirs)[:, None]                     # [R,1]
-    b = 2.0 * vm.dot(dirs[:, None, :], oc)              # [R,S]
-    c = vm.dot(oc, oc) - (sph.rad * sph.rad)[None, :]
+    oo = vm.dot(org, org)[:, None]                      # [R,1]
+    b = 2.0 * (jnp.einsum("rk,rk->r", dirs, org, precision="highest")[:, None] - d_c)
+    c = oo - 2.0 * o_c + cc - (sph.rad * sph.rad)[None, :]
     disc = b * b - 4.0 * a * c
     has = disc > 0.0
     sqrtd = jnp.sqrt(jnp.where(has, disc, 1.0))         # double-where: AD-safe at disc<=0
@@ -77,40 +96,78 @@ def sphere_shading(org, dirs, time, sph, idx, t):
     """Shading attrs for the winning sphere per ray. The outward normal uses
     the time-lerped center — fixing the reference's static-center bug
     (src/sphere.h:69, SURVEY.md appendix item 2)."""
-    c0 = sph.c0[idx]
-    c1 = sph.c1[idx]
+    n = sph.c0.shape[0]
+    oh = tbl.onehot(idx, n) if n <= tbl.MAX_ONEHOT else None
+    c0 = tbl.take_rows(sph.c0, idx, oh)
+    c1 = tbl.take_rows(sph.c1, idx, oh)
     center = c0 + time[:, None] * (c1 - c0)
-    rad = sph.rad[idx]
+    rad = tbl.take_rows(sph.rad, idx, oh)
     p = org + t[:, None] * dirs
     outward = (p - center) / jnp.maximum(rad, 1e-20)[:, None]
     front = vm.dot(dirs, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     u, v = sphere_uv(outward)
-    return p, normal, front, u, v, sph.mat[idx]
+    return p, normal, front, u, v, tbl.take_rows(sph.mat, idx, oh)
 
 
-# ------------------------------------------------------------------ quads
-def quad_ts(org, dirs, qds, tmin, tmax):
-    """[R,Q] hit parameter for planar quads (src/quad.h:30-52)."""
-    n = vm.cross(qds.eu, qds.ev)                        # [Q,3]
+# ------------------------------------------------------------------ planar
+def _planar_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle: bool):
+    """[R,N] hit parameter for planar primitives (quads src/quad.h:30-52;
+    triangles by the same plane + edge-coefficient construction, equal to
+    Moller-Trumbore's (t, b0, b1) up to fp rounding — src/triangle.h:8-15).
+
+    MXU formulation: the per-ray edge coefficients are scalar triple
+    products, rewritten so every ray-dependent factor is a dot with a
+    *per-primitive constant* vector:
+
+        a = w.(q x ev) = q.(ev x w),   b = w.(eu x q) = q.(w x eu)
+
+    with q = org + t*dirs - corner. Each q.X splits into org.X + t*(dirs.X)
+    - corner.X, so the whole test is six [R,3]@[3,N] matmuls (org/dirs
+    against unorm / ev x w / w x eu) plus [R,N] elementwise — no [R,N,3]
+    intermediates, and the contractions ride the MXU.
+    """
+    n = vm.cross(eu, ev)                                # [N,3]
     unorm = vm.normalize(n)
-    d_plane = vm.dot(unorm, qds.corner)                 # [Q]
-    denom = vm.dot(dirs[:, None, :], unorm[None, :, :])  # [R,Q]
-    t = _safe_div(d_plane[None, :] - vm.dot(unorm[None, :, :], org[:, None, :]), denom, INF)
-    p = org[:, None, :] + t[..., None] * dirs[:, None, :]
-    q = p - qds.corner[None, :, :]
-    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]   # [Q,3]
-    a = vm.dot(w[None, :, :], vm.cross(q, qds.ev[None, :, :]))
-    b = vm.dot(w[None, :, :], vm.cross(qds.eu[None, :, :], q))
-    interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    ok = _in_range(t, tmin, tmax) & interior & qds.active[None, :]
+    d_plane = vm.dot(unorm, corner)                     # [N]
+    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]   # [N,3]
+    evw = vm.cross(ev, w)                               # [N,3]  a = q . evw
+    weu = vm.cross(w, eu)                               # [N,3]  b = q . weu
+
+    o_n = jnp.einsum("rk,nk->rn", org, unorm, precision="highest")
+    d_n = jnp.einsum("rk,nk->rn", dirs, unorm, precision="highest")
+    t = _safe_div(d_plane[None, :] - o_n, d_n, INF)
+
+    o_a = jnp.einsum("rk,nk->rn", org, evw, precision="highest")
+    d_a = jnp.einsum("rk,nk->rn", dirs, evw, precision="highest")
+    c_a = vm.dot(corner, evw)[None, :]
+    a = o_a + t * d_a - c_a
+
+    o_b = jnp.einsum("rk,nk->rn", org, weu, precision="highest")
+    d_b = jnp.einsum("rk,nk->rn", dirs, weu, precision="highest")
+    c_b = vm.dot(corner, weu)[None, :]
+    b = o_b + t * d_b - c_b
+
+    if triangle:
+        interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+    else:
+        interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    ok = _in_range(t, tmin, tmax) & interior & active[None, :]
     return jnp.where(ok, t, INF)
 
 
+def quad_ts(org, dirs, qds, tmin, tmax):
+    """[R,Q] hit parameter for planar quads (src/quad.h:30-52)."""
+    return _planar_ts(org, dirs, qds.corner, qds.eu, qds.ev, qds.active,
+                      tmin, tmax, triangle=False)
+
+
 def quad_shading(org, dirs, qds, idx, t):
-    corner = qds.corner[idx]
-    eu = qds.eu[idx]
-    ev = qds.ev[idx]
+    n_tbl = qds.corner.shape[0]
+    oh = tbl.onehot(idx, n_tbl) if n_tbl <= tbl.MAX_ONEHOT else None
+    corner = tbl.take_rows(qds.corner, idx, oh)
+    eu = tbl.take_rows(qds.eu, idx, oh)
+    ev = tbl.take_rows(qds.ev, idx, oh)
     n = vm.cross(eu, ev)
     unorm = vm.normalize(n)
     p = org + t[:, None] * dirs
@@ -120,37 +177,30 @@ def quad_shading(org, dirs, qds, idx, t):
     v = vm.dot(w, vm.cross(eu, q))
     front = vm.dot(dirs, unorm) < 0.0
     normal = jnp.where(front[:, None], unorm, -unorm)
-    return p, normal, front, u, v, qds.mat[idx]
+    return p, normal, front, u, v, tbl.take_rows(qds.mat, idx, oh)
 
 
 # ------------------------------------------------------------------ triangles
 def tri_ts(org, dirs, tri, tmin, tmax):
-    """[R,T] Moller-Trumbore (src/triangle.h:8-15,27-40)."""
-    e1 = tri.v1 - tri.v0                                # [T,3]
-    e2 = tri.v2 - tri.v0
-    s = org[:, None, :] - tri.v0[None, :, :]            # [R,T,3]
-    s1 = vm.cross(dirs[:, None, :], e2[None, :, :])     # [R,T,3]
-    s2 = vm.cross(s, e1[None, :, :])
-    denom = vm.dot(s1, e1[None, :, :])                  # [R,T]
-    t = _safe_div(vm.dot(s2, e2[None, :, :]), denom, INF)
-    b0 = _safe_div(vm.dot(s1, s), denom, -1.0)
-    b1 = _safe_div(vm.dot(s2, dirs[:, None, :]), denom, -1.0)
-    ok = (_in_range(t, tmin, tmax)
-          & (b0 >= 0.0) & (b1 >= 0.0) & (b0 + b1 <= 1.0)
-          & tri.active[None, :])
-    return jnp.where(ok, t, INF)
+    """[R,T] triangle hit parameter. Same (t, b0, b1) as the reference's
+    Moller-Trumbore (src/triangle.h:8-15,27-40) computed through the shared
+    plane/edge-coefficient MXU path (see _planar_ts)."""
+    return _planar_ts(org, dirs, tri.v0, tri.v1 - tri.v0, tri.v2 - tri.v0,
+                      tri.active, tmin, tmax, triangle=True)
 
 
 def tri_shading(org, dirs, tri, idx, t):
-    v0 = tri.v0[idx]
-    e1 = tri.v1[idx] - v0
-    e2 = tri.v2[idx] - v0
+    n_tbl = tri.v0.shape[0]
+    oh = tbl.onehot(idx, n_tbl) if n_tbl <= tbl.MAX_ONEHOT else None
+    v0 = tbl.take_rows(tri.v0, idx, oh)
+    e1 = tbl.take_rows(tri.v1, idx, oh) - v0
+    e2 = tbl.take_rows(tri.v2, idx, oh) - v0
     outward = vm.normalize(vm.cross(e1, e2))            # flat geometric normal, no UV
     p = org + t[:, None] * dirs
     front = vm.dot(dirs, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     zero = jnp.zeros_like(t)
-    return p, normal, front, zero, zero, tri.mat[idx]
+    return p, normal, front, zero, zero, tbl.take_rows(tri.mat, idx, oh)
 
 
 # ------------------------------------------------------------------ volumes
@@ -214,49 +264,80 @@ def volume_sample(org, dirs, vols, tmin, t_surface, u_vol):
 
 # ------------------------------------------------------------------ combined
 def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
-    """Closest hit across all primitive tables -> Hit. ``u_vol``: [R, V]."""
-    ts_s = sphere_ts(org, dirs, time, scene.spheres, tmin, tmax)
-    ts_q = quad_ts(org, dirs, scene.quads, tmin, tmax)
-    ts_t = tri_ts(org, dirs, scene.tris, tmin, tmax)
+    """Closest hit across all primitive tables -> Hit. ``u_vol``: [R, V].
+
+    ``scene.counts`` is static, so primitive types the scene doesn't contain
+    never enter the XLA graph (an empty table is padded to one inactive row
+    that would otherwise cost a full [R,1] pass per type).
+    """
+    n_sph, n_quad, n_tri, n_vol = scene.counts
+    R = org.shape[0]
 
     def best(ts):
         # two reductions, NOT take_along_axis (serialized row-gather on TPU)
         return jnp.min(ts, axis=-1), jnp.argmin(ts, axis=-1)
 
-    t_s, i_s = best(ts_s)
-    t_q, i_q = best(ts_q)
-    t_t, i_t = best(ts_t)
+    inf_t = jnp.full((R,), INF, org.dtype)
+    zero_i = jnp.zeros((R,), jnp.int32)
+
+    if n_sph:
+        t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
+    else:
+        t_s, i_s = inf_t, zero_i
+    if n_quad:
+        t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
+    else:
+        t_q, i_q = inf_t, zero_i
+    if n_tri:
+        t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
+    else:
+        t_t, i_t = inf_t, zero_i
 
     t_surface = jnp.minimum(jnp.minimum(t_s, t_q), t_t)
-    t_v, i_v, v_valid = volume_sample(org, dirs, scene.volumes, tmin, t_surface, u_vol)
+    if n_vol:
+        t_v, i_v, v_valid = volume_sample(org, dirs, scene.volumes, tmin,
+                                          t_surface, u_vol)
+    else:
+        t_v, i_v = inf_t, zero_i
 
     t_all = jnp.stack([t_s, t_q, t_t, t_v], axis=-1)    # [R,4]
     which = jnp.argmin(t_all, axis=-1)                  # 0 sph, 1 quad, 2 tri, 3 vol
     t = jnp.min(t_all, axis=-1)
     valid = jnp.isfinite(t)
 
-    p_s, n_s, f_s, u_s, v_s, m_s = sphere_shading(org, dirs, time, scene.spheres, i_s,
-                                                  jnp.where(jnp.isfinite(t_s), t_s, 0.0))
-    p_q, n_q, f_q, u_q, v_q, m_q = quad_shading(org, dirs, scene.quads, i_q,
-                                                jnp.where(jnp.isfinite(t_q), t_q, 0.0))
-    p_t, n_t, f_t, u_t, v_t, m_t = tri_shading(org, dirs, scene.tris, i_t,
-                                               jnp.where(jnp.isfinite(t_t), t_t, 0.0))
-    # volume record: arbitrary normal/front_face (src/volumne.h:42-43)
-    t_v_safe = jnp.where(jnp.isfinite(t_v), t_v, 0.0)
-    p_v = org + t_v_safe[:, None] * dirs
-    n_v = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], org.dtype), org.shape)
-    m_v = scene.volumes.mat[i_v]
+    # shading attributes: (p, normal, front, u, v, mat) per present type,
+    # merged by masked select over the winning type
+    p = org + jnp.where(valid, t, 0.0)[:, None] * dirs
+    normal = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], org.dtype), org.shape)
+    front = jnp.ones((R,), bool)
+    uu = jnp.zeros((R,), org.dtype)
+    vv = jnp.zeros((R,), org.dtype)
+    mat = jnp.zeros((R,), jnp.int32)
 
-    def sel(k, a, b, c, d):
-        m = which[..., None] if a.ndim == 2 else which
-        return jnp.where(m == 0, a, jnp.where(m == 1, b, jnp.where(m == 2, c, d)))
+    def merge(cond, attrs):
+        nonlocal normal, front, uu, vv, mat
+        p_k, n_k, f_k, u_k, v_k, m_k = attrs
+        c3 = cond[:, None]
+        normal = jnp.where(c3, n_k, normal)
+        front = jnp.where(cond, f_k, front)
+        uu = jnp.where(cond, u_k, uu)
+        vv = jnp.where(cond, v_k, vv)
+        mat = jnp.where(cond, m_k, mat)
 
-    p = sel("p", p_s, p_q, p_t, p_v)
-    normal = sel("n", n_s, n_q, n_t, n_v)
-    front = sel("f", f_s, f_q, f_t, jnp.ones_like(f_s))
-    uu = sel("u", u_s, u_q, u_t, jnp.zeros_like(u_s))
-    vv = sel("v", v_s, v_q, v_t, jnp.zeros_like(v_s))
-    mat = sel("m", m_s, m_q, m_t, m_v)
+    if n_sph:
+        merge(which == 0, sphere_shading(org, dirs, time, scene.spheres, i_s,
+                                         jnp.where(jnp.isfinite(t_s), t_s, 0.0)))
+    if n_quad:
+        merge(which == 1, quad_shading(org, dirs, scene.quads, i_q,
+                                       jnp.where(jnp.isfinite(t_q), t_q, 0.0)))
+    if n_tri:
+        merge(which == 2, tri_shading(org, dirs, scene.tris, i_t,
+                                      jnp.where(jnp.isfinite(t_t), t_t, 0.0)))
+    if n_vol:
+        # volume record: arbitrary normal/front_face (src/volumne.h:42-43)
+        m_v = tbl.take_rows(scene.volumes.mat, i_v)
+        cond = which == 3
+        mat = jnp.where(cond, m_v, mat)
 
     return Hit(valid=valid, t=t, p=p, normal=normal, front=front, u=uu, v=vv,
                mat=jnp.where(valid, mat, 0))

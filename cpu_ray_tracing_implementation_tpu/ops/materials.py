@@ -29,6 +29,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cpu_ray_tracing_implementation_tpu.ops import sampling as smp
+from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
 from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
 from cpu_ray_tracing_implementation_tpu.models import scene as sc
@@ -51,8 +52,10 @@ def _safe_div(num, den, fallback=0.0):
 
 def emitted(scene, hit) -> jnp.ndarray:
     """Front-face-only emission of diffuse_light (src/material.h:211-214)."""
-    mt = scene.materials.mtype[hit.mat]
-    tex_id = scene.materials.tex[hit.mat]
+    n_m = scene.materials.mtype.shape[0]
+    oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
+    mt = tbl.take_rows(scene.materials.mtype, hit.mat, oh)
+    tex_id = tbl.take_rows(scene.materials.tex, hit.mat, oh)
     is_light = (mt == sc.MAT_DIFFUSE_LIGHT) & hit.front & hit.valid
     color = eval_texture(scene, tex_id, hit.u, hit.v, hit.p)
     return jnp.where(is_light[:, None], color, 0.0)
@@ -63,10 +66,12 @@ def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
     light quad (src/quad.h:75-78, src/hittable_list.h:39-50)."""
     n_lights = scene.lights.shape[0]
     lidx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
-    qid = scene.lights[lidx]
-    corner = scene.quads.corner[qid]
-    eu = scene.quads.eu[qid]
-    ev = scene.quads.ev[qid]
+    qid = tbl.take_rows(scene.lights, lidx)
+    n_q = scene.quads.corner.shape[0]
+    oh = tbl.onehot(qid, n_q) if n_q <= tbl.MAX_ONEHOT else None
+    corner = tbl.take_rows(scene.quads.corner, qid, oh)
+    eu = tbl.take_rows(scene.quads.eu, qid, oh)
+    ev = tbl.take_rows(scene.quads.ev, qid, oh)
     p = corner + u1[:, None] * eu + u2[:, None] * ev
     return p - origin
 
@@ -106,8 +111,15 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     continues=False.
     """
     mats = scene.materials
-    mt = mats.mtype[hit.mat]
-    atten = eval_texture(scene, mats.tex[hit.mat], hit.u, hit.v, hit.p)
+    n_m = mats.mtype.shape[0]
+    oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
+    mt = tbl.take_rows(mats.mtype, hit.mat, oh)
+    m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
+    m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
+    m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
+    m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
+    atten = eval_texture(scene, tbl.take_rows(mats.tex, hit.mat, oh),
+                         hit.u, hit.v, hit.p)
     n = hit.normal
     unit_d = vm.normalize(ray_dir)
 
@@ -116,11 +128,10 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
 
     # --- metal: mirror + fuzz, kDetermined (src/material.h:85-92)
-    metal_dir = vm.normalize(vm.reflect(ray_dir, n)) + mats.fuzz[hit.mat][:, None] * fuzz_vec
+    metal_dir = vm.normalize(vm.reflect(ray_dir, n)) + m_fuzz[:, None] * fuzz_vec
 
     # --- dielectric: Schlick reflect-vs-refract, kDetermined (src/material.h:113-131)
-    ior = mats.ior[hit.mat]
-    ri = jnp.where(hit.front, 1.0 / ior, ior)
+    ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
     cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
     sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
     cant_refract = ri * sin_theta > 1.0
@@ -131,8 +142,8 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     # --- gloss: probabilistic specular lerp, else cosine diffuse (src/material.h:158-173)
     spec_raw = vm.reflect(ray_dir, n)  # unnormalized, as in the reference
     gloss_spec_dir = vm.normalize(
-        vm.lerp(mats.smoothness[hit.mat][:, None], cos_sample, spec_raw))
-    gloss_is_spec = u[:, SLOT_DECISION] <= mats.spec_prob[hit.mat]
+        vm.lerp(m_smooth[:, None], cos_sample, spec_raw))
+    gloss_is_spec = u[:, SLOT_DECISION] <= m_spec
 
     is_metal = mt == sc.MAT_METAL
     is_diel = mt == sc.MAT_DIELECTRIC

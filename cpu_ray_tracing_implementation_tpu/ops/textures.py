@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from cpu_ray_tracing_implementation_tpu.ops import noise as noise_ops
+from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
 from cpu_ray_tracing_implementation_tpu.models import scene as scene_mod
 
 
@@ -19,10 +20,12 @@ def eval_texture(scene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                  p: jnp.ndarray) -> jnp.ndarray:
     """color [R,3] for per-lane texture ids at (u, v, p)."""
     texs = scene.textures
-    ttype = texs.ttype[tex_id]          # [R]
-    color0 = texs.color0[tex_id]        # [R,3]
-    color1 = texs.color1[tex_id]
-    scale = texs.scale[tex_id]
+    n_t = texs.ttype.shape[0]
+    oh = tbl.onehot(tex_id, n_t) if n_t <= tbl.MAX_ONEHOT else None
+    ttype = tbl.take_rows(texs.ttype, tex_id, oh)    # [R]
+    color0 = tbl.take_rows(texs.color0, tex_id, oh)  # [R,3]
+    color1 = tbl.take_rows(texs.color1, tex_id, oh)
+    scale = tbl.take_rows(texs.scale, tex_id, oh)
     used = scene.tex_types_used or (scene_mod.TEX_SOLID,)
 
     out = color0  # TEX_SOLID result doubles as the base case
@@ -37,7 +40,7 @@ def eval_texture(scene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
 
     if scene_mod.TEX_PICTURE in used:
         # nearest texel, v flipped, /256 (src/texture.h:68-74)
-        image_id = texs.image_id[tex_id]
+        image_id = tbl.take_rows(texs.image_id, tex_id, oh)
         pic = jnp.zeros_like(color0)
         for k, img in enumerate(scene.images):
             h, w = img.shape[0], img.shape[1]
