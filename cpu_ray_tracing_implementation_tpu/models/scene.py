@@ -27,7 +27,9 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+from cpu_ray_tracing_implementation_tpu.ops import chunked as chunked_mod
 from cpu_ray_tracing_implementation_tpu.ops import noise as noise_ops
+from cpu_ray_tracing_implementation_tpu.utils import accel
 
 # material type codes (src/material.h concrete classes)
 MAT_LAMBERTIAN = 0
@@ -134,6 +136,12 @@ class Scene:
     # volumes). Tables pad to >=1 row; a zero count lets the integrator drop
     # that primitive type from the XLA graph entirely.
     counts: tuple = struct.field(pytree_node=False, default=(-1, -1, -1, -1))
+    # chunk-scan acceleration for large tables (ops/chunked.py): primitives
+    # in BVH depth-first order, cut into fixed chunks with AABBs. None for
+    # small tables (dense single-pass path).
+    sphere_chunks: chunked_mod.SphereChunks | None = None
+    quad_chunks: chunked_mod.PlanarChunks | None = None
+    tri_chunks: chunked_mod.PlanarChunks | None = None
 
     @property
     def n_volumes(self) -> int:
@@ -384,6 +392,65 @@ class SceneBuilder:
         # pad edge vectors of inactive quads to unit axes so cross products stay finite
         tri = Triangles(*table(self._tris, [(0, "vec3", 0), (1, "vec3", 0), (2, "vec3", 0), (3, np.int32, 0)]))
 
+        # -------- chunk-scan acceleration for large tables (ops/chunked.py)
+        C = chunked_mod.CHUNK
+
+        def chunkify(cols, lo, hi, mats):
+            """BVH-order, pad to a CHUNK multiple, reshape chunk-major."""
+            n = len(lo)
+            centroid = (lo + hi) / 2.0
+            order, _nodes = accel.build_bvh(centroid, lo, hi, max_leaf=8)
+            k = (n + C - 1) // C
+            pad_n = k * C - n
+            out = []
+            for col in cols:
+                a = np.asarray(col, f32)[order]
+                pad_shape = (pad_n,) + a.shape[1:]
+                a = np.concatenate([a, np.zeros(pad_shape, a.dtype)], axis=0)
+                out.append(jnp.asarray(a.reshape((k, C) + a.shape[1:])))
+            m = np.concatenate([np.asarray(mats, np.int32)[order],
+                                np.zeros(pad_n, np.int32)])
+            act = np.concatenate([np.ones(n, bool), np.zeros(pad_n, bool)])
+            clo, chi = accel.chunk_bounds(lo[order], hi[order], C)
+            return (out, jnp.asarray(m.reshape(k, C)),
+                    jnp.asarray(act.reshape(k, C)),
+                    jnp.asarray(clo), jnp.asarray(chi))
+
+        sphere_chunks = None
+        if len(self._sph) > chunked_mod.DENSE_MAX:
+            c0 = np.stack([np.asarray(r[0], f32) for r in self._sph])
+            c1 = np.stack([np.asarray(r[1], f32) for r in self._sph])
+            rad = np.array([r[2] for r in self._sph], f32)
+            lo = np.minimum(c0, c1) - rad[:, None]
+            hi = np.maximum(c0, c1) + rad[:, None]
+            (cols, m, act, clo, chi) = chunkify(
+                [c0, c1, rad], lo, hi, [r[3] for r in self._sph])
+            sphere_chunks = chunked_mod.SphereChunks(
+                c0=cols[0], c1=cols[1], rad=cols[2], mat=m, active=act,
+                lo=clo, hi=chi)
+
+        def planar_chunks(rows):
+            corner = np.stack([np.asarray(r[0], f32) for r in rows])
+            eu = np.stack([np.asarray(r[1], f32) for r in rows])
+            ev = np.stack([np.asarray(r[2], f32) for r in rows])
+            pts = np.stack([corner, corner + eu, corner + ev, corner + eu + ev])
+            lo = pts.min(axis=0) - 1e-4   # pad degenerate axes (src/aabb.h:81-86)
+            hi = pts.max(axis=0) + 1e-4
+            (cols, m, act, clo, chi) = chunkify(
+                [corner, eu, ev], lo, hi, [r[3] for r in rows])
+            return chunked_mod.PlanarChunks(
+                corner=cols[0], eu=cols[1], ev=cols[2], mat=m, active=act,
+                lo=clo, hi=chi)
+
+        quad_chunks = (planar_chunks(self._quads)
+                       if len(self._quads) > chunked_mod.DENSE_MAX else None)
+        tri_chunks = None
+        if len(self._tris) > chunked_mod.DENSE_MAX:
+            tri_rows = [(r[0], np.asarray(r[1], f32) - np.asarray(r[0], f32),
+                         np.asarray(r[2], f32) - np.asarray(r[0], f32), r[3])
+                        for r in self._tris]
+            tri_chunks = planar_chunks(tri_rows)
+
         vol_rows = self._vols
         n_v = max(1, len(vol_rows))
         vols = Volumes(
@@ -442,4 +509,7 @@ class SceneBuilder:
             background=self._background,
             tex_types_used=tex_types_used,
             counts=(len(self._sph), len(self._quads), len(self._tris), len(self._vols)),
+            sphere_chunks=sphere_chunks,
+            quad_chunks=quad_chunks,
+            tri_chunks=tri_chunks,
         )

@@ -1,0 +1,226 @@
+"""Chunk-scan intersection for large primitive tables.
+
+TPU-native replacement for BVH *traversal* (reference src/bvh_node.h:49-58):
+per-ray pointer chasing does not map to a vector machine, so instead the
+primitive array is laid out in BVH depth-first order (spatially coherent —
+built by the native SAH builder, utils/accel.py), cut into fixed-size chunks,
+and intersected by a ``lax.scan`` over chunks:
+
+ - each step runs the dense MXU intersection test for one [C]-chunk against
+   all rays, bounded by the running closest-t (per-ray tmax tightening, the
+   same pruning the reference gets from its right-subtree interval clamp);
+ - a whole-batch AABB slab test against the chunk's bounds skips the body via
+   ``lax.cond`` when NO ray can hit the chunk (coherent-ray culling);
+ - the winning primitive's shading attributes are contracted out of the chunk
+   with a one-hot matmul and carried forward, so no post-hoc gather by
+   primitive id is ever needed.
+
+Memory stays O(R*C) regardless of scene size, vs O(R*N) for the dense path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+
+INF = jnp.inf
+
+# primitives per chunk: lane-width multiple; [R,C] intermediates stay small
+CHUNK = 128
+# tables at or below this stay on the dense single-pass path
+DENSE_MAX = 512
+
+
+@struct.dataclass
+class PlanarChunks:
+    """[K,C,...] chunk-major quad/triangle tables + chunk AABBs."""
+    corner: jnp.ndarray  # [K,C,3]
+    eu: jnp.ndarray      # [K,C,3]
+    ev: jnp.ndarray      # [K,C,3]
+    mat: jnp.ndarray     # [K,C] int32
+    active: jnp.ndarray  # [K,C] bool
+    lo: jnp.ndarray      # [K,3]
+    hi: jnp.ndarray      # [K,3]
+
+
+@struct.dataclass
+class SphereChunks:
+    c0: jnp.ndarray      # [K,C,3]
+    c1: jnp.ndarray      # [K,C,3]
+    rad: jnp.ndarray     # [K,C]
+    mat: jnp.ndarray     # [K,C] int32
+    active: jnp.ndarray  # [K,C] bool
+    lo: jnp.ndarray      # [K,3]
+    hi: jnp.ndarray      # [K,3]
+
+
+def _chunk_cull(org, dirs, lo, hi, tmin, t_best):
+    """True if ANY ray's [tmin, t_best] interval crosses the chunk AABB."""
+    inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-20, dirs, 1e-20)
+    t0 = (lo[None, :] - org) * inv
+    t1 = (hi[None, :] - org) * inv
+    near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    ok = (near <= far) & (far >= tmin) & (near <= t_best)
+    return jnp.any(ok)
+
+
+def _planar_chunk_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle):
+    """[R,C] t for one chunk; per-ray tmax (the running closest hit)."""
+    n = vm.cross(eu, ev)
+    unorm = vm.normalize(n)
+    d_plane = vm.dot(unorm, corner)
+    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]
+    evw = vm.cross(ev, w)
+    weu = vm.cross(w, eu)
+
+    hi = "highest"
+    o_n = jnp.einsum("rk,nk->rn", org, unorm, precision=hi)
+    d_n = jnp.einsum("rk,nk->rn", dirs, unorm, precision=hi)
+    ok0 = jnp.abs(d_n) > 1e-20
+    t = jnp.where(ok0, (d_plane[None, :] - o_n) / jnp.where(ok0, d_n, 1.0), INF)
+
+    a = (jnp.einsum("rk,nk->rn", org, evw, precision=hi)
+         + t * jnp.einsum("rk,nk->rn", dirs, evw, precision=hi)
+         - vm.dot(corner, evw)[None, :])
+    b = (jnp.einsum("rk,nk->rn", org, weu, precision=hi)
+         + t * jnp.einsum("rk,nk->rn", dirs, weu, precision=hi)
+         - vm.dot(corner, weu)[None, :])
+    if triangle:
+        interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+    else:
+        interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    ok = (t >= tmin) & (t <= tmax[:, None]) & interior & active[None, :]
+    return jnp.where(ok, t, INF), a, b, unorm
+
+
+def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool):
+    """Closest hit over all chunks.
+
+    Returns (t [R], payload) with payload = (unorm [R,3], u [R], v [R],
+    mat [R]) of the winning primitive (zeros when t == inf).
+    """
+    R = org.shape[0]
+    f32 = org.dtype
+    init = (
+        jnp.full((R,), INF, f32),
+        jnp.zeros((R, 3), f32),  # plane unit normal (outward by winding)
+        jnp.zeros((R,), f32),    # u
+        jnp.zeros((R,), f32),    # v
+        jnp.zeros((R,), jnp.int32),
+    )
+
+    def step(carry, xs):
+        t_best = carry[0]
+        corner, eu, ev, mat, active, lo, hi = xs
+
+        def body(carry):
+            t_best, n_b, u_b, v_b, m_b = carry
+            ts, a, b, unorm = _planar_chunk_ts(
+                org, dirs, corner, eu, ev, active, tmin, t_best, triangle)
+            t_c = jnp.min(ts, axis=-1)
+            idx = jnp.argmin(ts, axis=-1)
+            oh = tbl.onehot(idx, ts.shape[1])
+            better = t_c < t_best
+            mm = lambda tab: jnp.matmul(oh, tab, precision="highest")
+            n_c = mm(unorm)
+            u_c = jnp.sum(oh * a, axis=-1)
+            v_c = jnp.sum(oh * b, axis=-1)
+            m_c = jnp.round(mm(mat.astype(f32)[:, None]))[:, 0].astype(jnp.int32)
+            return (
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], n_c, n_b),
+                jnp.where(better, u_c, u_b),
+                jnp.where(better, v_c, v_b),
+                jnp.where(better, m_c, m_b),
+            )
+
+        hit_possible = _chunk_cull(org, dirs, lo, hi, tmin, t_best)
+        return jax.lax.cond(hit_possible, body, lambda c: c, carry), None
+
+    xs = (chunks.corner, chunks.eu, chunks.ev, chunks.mat, chunks.active,
+          chunks.lo, chunks.hi)
+    out, _ = jax.lax.scan(step, init, xs)
+    t, unorm, u, v, mat = out
+    return t, (unorm, u, v, mat)
+
+
+def _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active, tmin, tmax):
+    """[R,C] t for one sphere chunk (MXU form, see ops.intersect.sphere_ts)."""
+    hi = "highest"
+    dc = c1 - c0
+    d_c = (jnp.einsum("rk,sk->rs", dirs, c0, precision=hi)
+           + time[:, None] * jnp.einsum("rk,sk->rs", dirs, dc, precision=hi))
+    o_c = (jnp.einsum("rk,sk->rs", org, c0, precision=hi)
+           + time[:, None] * jnp.einsum("rk,sk->rs", org, dc, precision=hi))
+    c0c0 = vm.dot(c0, c0)
+    c0dc = vm.dot(c0, dc)
+    dcdc = vm.dot(dc, dc)
+    cc = (c0c0[None, :] + 2.0 * time[:, None] * c0dc[None, :]
+          + (time * time)[:, None] * dcdc[None, :])
+    a = vm.dot(dirs, dirs)[:, None]
+    oo = vm.dot(org, org)[:, None]
+    b = 2.0 * (jnp.einsum("rk,rk->r", dirs, org, precision=hi)[:, None] - d_c)
+    c = oo - 2.0 * o_c + cc - (rad * rad)[None, :]
+    disc = b * b - 4.0 * a * c
+    has = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(has, disc, 1.0))
+    t0 = (-b - sqrtd) / (2.0 * a)
+    t1 = (-b + sqrtd) / (2.0 * a)
+    in0 = (t0 >= tmin) & (t0 <= tmax[:, None])
+    in1 = (t1 >= tmin) & (t1 <= tmax[:, None])
+    t = jnp.where(in0, t0, jnp.where(in1, t1, INF))
+    return jnp.where(has & active[None, :], t, INF)
+
+
+def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin):
+    """Closest sphere hit over all chunks.
+
+    Returns (t [R], payload) with payload = (center_at_t [R,3], rad [R],
+    mat [R])."""
+    R = org.shape[0]
+    f32 = org.dtype
+    init = (
+        jnp.full((R,), INF, f32),
+        jnp.zeros((R, 3), f32),  # time-lerped center of the winner
+        jnp.ones((R,), f32),     # radius
+        jnp.zeros((R,), jnp.int32),
+    )
+
+    def step(carry, xs):
+        t_best = carry[0]
+        c0, c1, rad, mat, active, lo, hi = xs
+
+        def body(carry):
+            t_best, ctr_b, rad_b, m_b = carry
+            ts = _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active,
+                                  tmin, t_best)
+            t_c = jnp.min(ts, axis=-1)
+            idx = jnp.argmin(ts, axis=-1)
+            oh = tbl.onehot(idx, ts.shape[1])
+            better = t_c < t_best
+            mm = lambda tab: jnp.matmul(oh, tab, precision="highest")
+            c0_w = mm(c0)
+            c1_w = mm(c1)
+            ctr_c = c0_w + time[:, None] * (c1_w - c0_w)
+            rad_c = mm(rad[:, None])[:, 0]
+            m_c = jnp.round(mm(mat.astype(f32)[:, None]))[:, 0].astype(jnp.int32)
+            return (
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], ctr_c, ctr_b),
+                jnp.where(better, jnp.maximum(rad_c, 1e-20), rad_b),
+                jnp.where(better, m_c, m_b),
+            )
+
+        hit_possible = _chunk_cull(org, dirs, lo, hi, tmin, t_best)
+        return jax.lax.cond(hit_possible, body, lambda c: c, carry), None
+
+    xs = (chunks.c0, chunks.c1, chunks.rad, chunks.mat, chunks.active,
+          chunks.lo, chunks.hi)
+    out, _ = jax.lax.scan(step, init, xs)
+    t, center, rad, mat = out
+    return t, (center, rad, mat)

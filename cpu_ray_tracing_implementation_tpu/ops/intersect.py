@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from cpu_ray_tracing_implementation_tpu.ops import chunked
 from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
 from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 from cpu_ray_tracing_implementation_tpu.ops.sampling import PI
@@ -280,18 +281,29 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     inf_t = jnp.full((R,), INF, org.dtype)
     zero_i = jnp.zeros((R,), jnp.int32)
 
-    if n_sph:
+    sph_payload = quad_payload = tri_payload = None
+    i_s = i_q = i_t = zero_i
+    if scene.sphere_chunks is not None:
+        t_s, sph_payload = chunked.sphere_closest(org, dirs, time,
+                                                  scene.sphere_chunks, tmin)
+    elif n_sph:
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:
-        t_s, i_s = inf_t, zero_i
-    if n_quad:
+        t_s = inf_t
+    if scene.quad_chunks is not None:
+        t_q, quad_payload = chunked.planar_closest(org, dirs, scene.quad_chunks,
+                                                   tmin, triangle=False)
+    elif n_quad:
         t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
     else:
-        t_q, i_q = inf_t, zero_i
-    if n_tri:
+        t_q = inf_t
+    if scene.tri_chunks is not None:
+        t_t, tri_payload = chunked.planar_closest(org, dirs, scene.tri_chunks,
+                                                  tmin, triangle=True)
+    elif n_tri:
         t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
     else:
-        t_t, i_t = inf_t, zero_i
+        t_t = inf_t
 
     t_surface = jnp.minimum(jnp.minimum(t_s, t_q), t_t)
     if n_vol:
@@ -324,13 +336,33 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         vv = jnp.where(cond, v_k, vv)
         mat = jnp.where(cond, m_k, mat)
 
-    if n_sph:
+    def planar_attrs(payload, t_k):
+        """(p, normal, front, u, v, mat) from a chunked planar payload."""
+        unorm, u_k, v_k, m_k = payload
+        pk = org + jnp.where(jnp.isfinite(t_k), t_k, 0.0)[:, None] * dirs
+        front_k = vm.dot(dirs, unorm) < 0.0
+        normal_k = jnp.where(front_k[:, None], unorm, -unorm)
+        return pk, normal_k, front_k, u_k, v_k, m_k
+
+    if scene.sphere_chunks is not None:
+        center, rad_w, m_w = sph_payload
+        pk = org + jnp.where(jnp.isfinite(t_s), t_s, 0.0)[:, None] * dirs
+        outward = (pk - center) / rad_w[:, None]
+        front_k = vm.dot(dirs, outward) < 0.0
+        normal_k = jnp.where(front_k[:, None], outward, -outward)
+        u_k, v_k = sphere_uv(outward)
+        merge(which == 0, (pk, normal_k, front_k, u_k, v_k, m_w))
+    elif n_sph:
         merge(which == 0, sphere_shading(org, dirs, time, scene.spheres, i_s,
                                          jnp.where(jnp.isfinite(t_s), t_s, 0.0)))
-    if n_quad:
+    if scene.quad_chunks is not None:
+        merge(which == 1, planar_attrs(quad_payload, t_q))
+    elif n_quad:
         merge(which == 1, quad_shading(org, dirs, scene.quads, i_q,
                                        jnp.where(jnp.isfinite(t_q), t_q, 0.0)))
-    if n_tri:
+    if scene.tri_chunks is not None:
+        merge(which == 2, planar_attrs(tri_payload, t_t))
+    elif n_tri:
         merge(which == 2, tri_shading(org, dirs, scene.tris, i_t,
                                       jnp.where(jnp.isfinite(t_t), t_t, 0.0)))
     if n_vol:
