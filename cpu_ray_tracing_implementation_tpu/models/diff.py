@@ -1,0 +1,120 @@
+"""Differentiable rendering: parameter extraction, gradient steps, inverse
+rendering.
+
+Beyond the reference (which has no gradients anywhere): radiance here is
+differentiable w.r.t.
+
+ - material/texture parameters: albedo and emission (``Textures.color0/1``),
+   metal fuzz, dielectric IOR, gloss smoothness/probability;
+ - camera parameters: position, look-at, field of view, focus geometry.
+
+Gradient estimator: detached sampling. Sampled directions are driven by
+explicit uniforms (ops/sampling.py), so they carry no parameter dependence —
+differentiating the throughput weights gives the unbiased "detached" gradient
+for material params; camera gradients flow through ray generation
+(reparameterized), with the usual silhouette-discontinuity caveat. Validated
+against finite differences in tests/test_diff.py (the BASELINE.md gradient
+metric).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cpu_ray_tracing_implementation_tpu.models import integrator
+
+
+# ---------------------------------------------------------------- params
+def scene_params(scene) -> dict:
+    """The differentiable leaves of a scene, as a flat dict pytree."""
+    return {
+        "tex_color0": scene.textures.color0,
+        "tex_color1": scene.textures.color1,
+        "mat_fuzz": scene.materials.fuzz,
+        "mat_ior": scene.materials.ior,
+        "mat_smoothness": scene.materials.smoothness,
+        "mat_spec_prob": scene.materials.spec_prob,
+    }
+
+
+def apply_scene_params(scene, params: dict):
+    return scene.replace(
+        textures=scene.textures.replace(color0=params["tex_color0"],
+                                        color1=params["tex_color1"]),
+        materials=scene.materials.replace(
+            fuzz=params["mat_fuzz"], ior=params["mat_ior"],
+            smoothness=params["mat_smoothness"],
+            spec_prob=params["mat_spec_prob"]),
+    )
+
+
+def camera_params(camera) -> dict:
+    return {
+        "pos": camera.pos,
+        "lookat": camera.lookat,
+        "fovy_deg": camera.fovy_deg,
+        "focal_length": camera.focal_length,
+        "ortho_viewport_h": camera.ortho_viewport_h,
+        "defocus_angle_deg": camera.defocus_angle_deg,
+        "focus_dist": camera.focus_dist,
+    }
+
+
+def apply_camera_params(camera, params: dict):
+    return camera.replace(**params)
+
+
+# ---------------------------------------------------------------- losses
+@functools.partial(jax.jit, static_argnames=("spp",))
+def image_loss(scene, camera, key, target, spp: int):
+    """Mean squared pixel error of an spp-sample render against ``target``."""
+    img = integrator.render_image(scene, camera, key, spp=spp)
+    return jnp.mean((img - target) ** 2)
+
+
+@functools.partial(jax.jit, static_argnames=("spp",))
+def loss_and_grads(scene, camera, key, target, spp: int):
+    """(loss, (scene_param_grads, camera_param_grads))."""
+
+    def f(sp, cp):
+        s = apply_scene_params(scene, sp)
+        c = apply_camera_params(camera, cp)
+        img = integrator.render_image(s, c, key, spp=spp)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(f, argnums=(0, 1))(
+        scene_params(scene), camera_params(camera))
+
+
+def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
+              spp: int = 8, seed: int = 0, param_filter=None, log=None):
+    """Gradient-descent inverse rendering on the scene parameters.
+
+    ``param_filter``: optional set of param names to optimize (others
+    frozen). Returns (optimized scene, losses)."""
+    params = scene_params(scene)
+    names = set(params) if param_filter is None else set(param_filter)
+    losses = []
+    key = jax.random.key(seed)
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def step(params, k, spp_):
+        def f(p):
+            s = apply_scene_params(scene, p)
+            img = integrator.render_image(s, camera, k, spp=spp_)
+            return jnp.mean((img - target) ** 2)
+
+        return jax.value_and_grad(f)(params)
+
+    for i in range(steps):
+        loss, g = step(params, jax.random.fold_in(key, i), spp)
+        losses.append(float(loss))
+        params = {n: (jnp.clip(params[n] - lr * g[n], 0.0, None)
+                      if n in names else params[n])
+                  for n in params}
+        if log and i % 10 == 0:
+            log(f"[fit] step {i}: loss {losses[-1]:.6f}")
+    return apply_scene_params(scene, params), losses

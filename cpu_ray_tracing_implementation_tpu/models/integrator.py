@@ -129,6 +129,24 @@ def render_sample(scene, camera, key, pixel_ids) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("spp",))
+def accumulate_samples(scene, camera, key, sample_offset, spp: int) -> jnp.ndarray:
+    """Radiance SUM over samples [sample_offset, sample_offset+spp) for all
+    pixels, flat [H*W, 3]. Sample index (not position in this batch) keys the
+    RNG, so any partition of the sample range — across checkpoint chunks or
+    across chips — accumulates to the identical image.
+    """
+    n_pix = camera.width * camera.height
+    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+
+    def one_sample(accum, s):
+        k = jax.random.fold_in(key, sample_offset + s)
+        return accum + render_sample(scene, camera, k, pixel_ids), None
+
+    accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
+                            jnp.arange(spp))
+    return accum
+
+
 def render_image(scene, camera, key, spp: int | None = None) -> jnp.ndarray:
     """Full image [H,W,3] (linear radiance, pre-gamma).
 
@@ -137,13 +155,5 @@ def render_image(scene, camera, key, spp: int | None = None) -> jnp.ndarray:
     (src/camera.h:163-171). spp defaults to camera.spp.
     """
     spp = camera.spp if spp is None else spp
-    n_pix = camera.width * camera.height
-    pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
-
-    def one_sample(accum, s):
-        k = jax.random.fold_in(key, s)
-        return accum + render_sample(scene, camera, k, pixel_ids), None
-
-    accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
-                            jnp.arange(spp))
+    accum = accumulate_samples(scene, camera, key, 0, spp)
     return (accum / spp).reshape(camera.height, camera.width, 3)

@@ -82,7 +82,8 @@ def _planar_chunk_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle):
     o_n = jnp.einsum("rk,nk->rn", org, unorm, precision=hi)
     d_n = jnp.einsum("rk,nk->rn", dirs, unorm, precision=hi)
     ok0 = jnp.abs(d_n) > 1e-20
-    t = jnp.where(ok0, (d_plane[None, :] - o_n) / jnp.where(ok0, d_n, 1.0), INF)
+    # finite sentinel: inf t would leak NaN grads via a = o_a + t*d_a
+    t = jnp.where(ok0, (d_plane[None, :] - o_n) / jnp.where(ok0, d_n, 1.0), 1e30)
 
     a = (jnp.einsum("rk,nk->rn", org, evw, precision=hi)
          + t * jnp.einsum("rk,nk->rn", dirs, evw, precision=hi)
@@ -94,7 +95,7 @@ def _planar_chunk_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle):
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
         interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    ok = (t >= tmin) & (t <= tmax[:, None]) & interior & active[None, :]
+    ok = ok0 & (t >= tmin) & (t <= tmax[:, None]) & interior & active[None, :]
     return jnp.where(ok, t, INF), a, b, unorm
 
 

@@ -137,7 +137,12 @@ def _planar_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle: bool):
 
     o_n = jnp.einsum("rk,nk->rn", org, unorm, precision="highest")
     d_n = jnp.einsum("rk,nk->rn", dirs, unorm, precision="highest")
-    t = _safe_div(d_plane[None, :] - o_n, d_n, INF)
+    # finite sentinel for the intermediate arithmetic: an INF t here would
+    # produce 0*inf = NaN *gradients* through a = o_a + t*d_a even on fully
+    # masked lanes (the classic where-branch NaN leak)
+    hit_plane = jnp.abs(d_n) > 1e-20
+    t = jnp.where(hit_plane,
+                  (d_plane[None, :] - o_n) / jnp.where(hit_plane, d_n, 1.0), BIG)
 
     o_a = jnp.einsum("rk,nk->rn", org, evw, precision="highest")
     d_a = jnp.einsum("rk,nk->rn", dirs, evw, precision="highest")
@@ -153,7 +158,7 @@ def _planar_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle: bool):
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
         interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    ok = _in_range(t, tmin, tmax) & interior & active[None, :]
+    ok = hit_plane & _in_range(t, tmin, tmax) & interior & active[None, :]
     return jnp.where(ok, t, INF)
 
 

@@ -78,7 +78,12 @@ def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
 
 def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     """Solid-angle pdf of the light mixture: mean over light quads of
-    dist^2 / (|cos| * area) when the ray hits the quad (src/quad.h:66-73)."""
+    dist^2 / (|cos| * area) when the ray hits the quad (src/quad.h:66-73).
+
+    Same scalar-triple-product MXU form as ops.intersect._planar_ts, with a
+    finite sentinel for missed planes — an inf t here would leak NaN into
+    the gradients of every ray (0 * inf in the backward of masked lanes).
+    """
     qid = scene.lights                                  # [L]
     corner = scene.quads.corner[qid]                    # [L,3]
     eu = scene.quads.eu[qid]
@@ -86,18 +91,28 @@ def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     n = vm.cross(eu, ev)
     area = vm.length(n)                                 # [L]
     unorm = vm.normalize(n)
-
-    denom = vm.dot(direction[:, None, :], unorm[None, :, :])           # [R,L]
-    t = _safe_div(vm.dot(unorm, corner)[None, :]
-                  - vm.dot(unorm[None, :, :], origin[:, None, :]), denom, jnp.inf)
-    p = origin[:, None, :] + t[..., None] * direction[:, None, :]
-    q = p - corner[None, :, :]
     w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]
-    a = vm.dot(w[None], vm.cross(q, ev[None]))
-    b = vm.dot(w[None], vm.cross(eu[None], q))
-    hit_ok = (t >= 1e-3) & jnp.isfinite(t) & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1)
+    evw = vm.cross(ev, w)
+    weu = vm.cross(w, eu)
 
-    dist_sq = t * t * vm.length_sq(direction)[:, None]
+    hi = "highest"
+    o_n = jnp.einsum("rk,lk->rl", origin, unorm, precision=hi)
+    d_n = jnp.einsum("rk,lk->rl", direction, unorm, precision=hi)
+    ok0 = jnp.abs(d_n) > 1e-20
+    t = jnp.where(ok0, (vm.dot(unorm, corner)[None, :] - o_n)
+                  / jnp.where(ok0, d_n, 1.0), 1e30)
+
+    a = (jnp.einsum("rk,lk->rl", origin, evw, precision=hi)
+         + t * jnp.einsum("rk,lk->rl", direction, evw, precision=hi)
+         - vm.dot(corner, evw)[None, :])
+    b = (jnp.einsum("rk,lk->rl", origin, weu, precision=hi)
+         + t * jnp.einsum("rk,lk->rl", direction, weu, precision=hi)
+         - vm.dot(corner, weu)[None, :])
+    hit_ok = (ok0 & (t >= 1e-3) & (t < 1e29)
+              & (a >= 0) & (a <= 1) & (b >= 0) & (b <= 1))
+
+    t_safe = jnp.where(hit_ok, t, 1.0)
+    dist_sq = t_safe * t_safe * vm.length_sq(direction)[:, None]
     cosine = jnp.abs(vm.dot(vm.normalize(direction)[:, None, :], unorm[None, :, :]))
     pdf = jnp.where(hit_ok, _safe_div(dist_sq, cosine * area[None, :], 0.0), 0.0)
     return jnp.mean(pdf, axis=-1)

@@ -43,13 +43,16 @@ def reflect(v: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 def refract(v: jnp.ndarray, n: jnp.ndarray, eta: jnp.ndarray) -> jnp.ndarray:
     """Snell refraction of unit vector v about unit normal n.
 
-    Matches reference src/utility.h:71-76 including the fabs under the sqrt.
+    Matches reference src/utility.h:71-76 (fabs under the sqrt), with an
+    epsilon floor so the gradient stays finite at grazing incidence — this
+    runs on ALL lanes (masked dispatch), so a NaN d/dx sqrt(0) here would
+    leak into every material's gradients through the lane select.
     ``eta`` is the ratio n_in/n_out, shape [...].
     """
     cos_theta = jnp.minimum(dot(-v, n), 1.0)
     r_out_perp = eta[..., None] * (v + cos_theta[..., None] * n)
-    r_out_parallel = -jnp.sqrt(jnp.abs(1.0 - length_sq(r_out_perp)))[..., None] * n
-    return r_out_perp + r_out_parallel
+    k = jnp.maximum(jnp.abs(1.0 - length_sq(r_out_perp)), 1e-12)
+    return r_out_perp - jnp.sqrt(k)[..., None] * n
 
 
 def onb_from_normal(normal: jnp.ndarray):

@@ -32,6 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output container (default: from output extension, else png)")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all available devices")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="spp-chunked render with resume from PATH")
+    p.add_argument("--chunk-spp", type=int, default=16,
+                   help="samples per checkpoint chunk (with --checkpoint)")
     p.add_argument("--list", action="store_true", help="list scenes and exit")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for filename + scene number like the reference")
@@ -79,7 +83,13 @@ def main(argv=None) -> int:
 
     key = jax.random.key(args.seed)
     t0 = time.time()
-    if args.sharded and len(jax.devices()) > 1:
+    if args.checkpoint:
+        from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ckpt
+
+        img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
+                                          chunk_spp=args.chunk_spp,
+                                          ckpt_path=args.checkpoint)
+    elif args.sharded and len(jax.devices()) > 1:
         from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
 
         img = pm.render_image_sharded(scene, cam, key, pm.make_mesh())
