@@ -1,56 +1,70 @@
 """Benchmark runner: one JSON line for the driver.
 
-Headline metric: camera rays/s on the north-star workload (BASELINE.json) —
-Cornell box 512x512, 256 spp, max_depth 8 — on whatever device JAX gives us
-(the real TPU chip under the driver).
+Headline metric (matches BASELINE.json's north star): camera rays/s through
+a full FORWARD + BACKWARD pass — render the Cornell box at 512x512, 256 spp,
+max_depth 8 and take gradients of a scalar image loss w.r.t. the
+differentiable scene parameters (albedo/emission/material params) — on
+whatever device JAX gives us (the real TPU chip under the driver).
 
-vs_baseline: ratio against the reference C++ renderer on the *reference's own*
-Cornell workload (600x600, 40 spp, depth 4; src/main.cc:222-224). The
-reference binary (g++ -O3 -march=native, tinyexr stubbed, 4-core
-std::execution::par_unseq) rendered that workload in 34.8 s on this host
-= 4.14e5 camera rays/s (measured 2026-08-16; see BASELINE.md). We re-measure
-our own throughput on the exact same workload for the ratio.
+vs_baseline: ratio of our FORWARD throughput against the reference C++
+renderer on the reference's own Cornell workload (600x600, 40 spp, depth 4;
+src/main.cc:222-224). The reference binary (g++ -O3 -march=native, tinyexr
+stubbed, 4-core std::execution::par_unseq) rendered that workload in 34.8 s
+on this host = 4.14e5 camera rays/s (measured 2026-08-16, BASELINE.md). The
+reference has no backward pass at all, so the comparable number is forward.
 
-Timing methodology: device->host fetch (np.asarray) is forced before stopping
-the clock — block_until_ready alone returns early under the axon tunnel.
+Timing: device->host fetches are forced before stopping the clock
+(block_until_ready returns early under the axon tunnel), and a warm-up run
+absorbs compilation.
 """
 
 import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+from cpu_ray_tracing_implementation_tpu.models import catalog, diff, integrator
 
 REF_CORNELL_RAYS_PER_S = 14_400_000 / 34.8  # reference C++ on 4-core host CPU
 
 
-def _time_render(scene, cam, spp, key):
-    img = integrator.render_image(scene, cam, key, spp=spp)
-    np.asarray(img)  # warm-up: compile + run
-    t0 = time.time()
-    img = integrator.render_image(scene, cam, jax.random.fold_in(key, 1), spp=spp)
-    a = np.asarray(img)
-    dt = time.time() - t0
-    assert np.isfinite(a).all()
-    return cam.width * cam.height * spp / dt
+def _sync(*arrays):
+    for a in arrays:
+        np.asarray(a)
 
 
 def main():
-    # north-star workload (BASELINE.json): Cornell 512x512, 256 spp, depth 8
+    # north-star workload: Cornell 512x512, 256 spp, depth 8, fwd+bwd
     scene, cam = catalog.cornell_box(width=512, spp=256, max_depth=8)
-    headline = _time_render(scene, cam, 256, jax.random.key(0))
+    target = jnp.zeros((cam.height, cam.width, 3))
 
-    # reference-matched workload for the baseline ratio
+    loss, (gs, _gc) = diff.loss_and_grads(scene, cam, jax.random.key(0),
+                                          target, spp=256)
+    _sync(loss, gs["tex_color0"])  # warm-up: compile + run
+    t0 = time.time()
+    loss, (gs, _gc) = diff.loss_and_grads(scene, cam, jax.random.key(1),
+                                          target, spp=256)
+    _sync(loss, gs["tex_color0"])
+    dt = time.time() - t0
+    assert np.isfinite(float(loss))
+    headline = 512 * 512 * 256 / dt
+
+    # reference-matched forward workload for the baseline ratio
     scene_m, cam_m = catalog.cornell_box(width=600, spp=40, max_depth=4)
-    matched = _time_render(scene_m, cam_m, 40, jax.random.key(0))
+    img = integrator.render_image(scene_m, cam_m, jax.random.key(0), spp=40)
+    _sync(img)
+    t0 = time.time()
+    img = integrator.render_image(scene_m, cam_m, jax.random.key(1), spp=40)
+    _sync(img)
+    fwd_matched = 600 * 600 * 40 / (time.time() - t0)
 
     print(json.dumps({
-        "metric": "cornell_512x512_256spp_d8_camera_rays_per_s",
+        "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",
         "value": round(headline),
         "unit": "rays/s",
-        "vs_baseline": round(matched / REF_CORNELL_RAYS_PER_S, 2),
+        "vs_baseline": round(fwd_matched / REF_CORNELL_RAYS_PER_S, 2),
     }))
 
 

@@ -138,9 +138,15 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int) -> jnp.ndarr
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
 
+    # remat per sample: the backward pass recomputes each sample's wavefront
+    # instead of storing 256 samples x depth bounces of [R,...] residuals —
+    # the standard jax.checkpoint FLOPs-for-HBM trade
+    sample_fn = jax.checkpoint(
+        lambda k: render_sample(scene, camera, k, pixel_ids))
+
     def one_sample(accum, s):
         k = jax.random.fold_in(key, sample_offset + s)
-        return accum + render_sample(scene, camera, k, pixel_ids), None
+        return accum + sample_fn(k), None
 
     accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
                             jnp.arange(spp))
