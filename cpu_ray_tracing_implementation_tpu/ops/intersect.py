@@ -295,16 +295,23 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:
         t_s = inf_t
+    def planar_path(chs, tri_flag):
+        """Fused Pallas kernel on TPU (scan backward via custom VJP);
+        pure XLA chunk scan elsewhere."""
+        from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+        if pk.use_pallas():
+            return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag)
+        return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag)
+
     if scene.quad_chunks is not None:
-        t_q, quad_payload = chunked.planar_closest(org, dirs, scene.quad_chunks,
-                                                   tmin, triangle=False)
+        t_q, quad_payload = planar_path(scene.quad_chunks, False)
     elif n_quad:
         t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
     else:
         t_q = inf_t
     if scene.tri_chunks is not None:
-        t_t, tri_payload = chunked.planar_closest(org, dirs, scene.tri_chunks,
-                                                  tmin, triangle=True)
+        t_t, tri_payload = planar_path(scene.tri_chunks, True)
     elif n_tri:
         t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
     else:

@@ -1,0 +1,211 @@
+"""Pallas TPU kernel: fused closest-hit over chunked planar primitives.
+
+The XLA chunk-scan path (ops/chunked.py) materializes [R,C] intermediates in
+HBM between ops; this kernel is the flash-attention-style fusion of the same
+math: a 2-D grid over (ray tiles, primitive chunks) where the running
+closest-hit state lives in the revisited VMEM output block, the six
+ray-constant x primitive-constant contractions run on the MXU per
+(tile, chunk) cell, and nothing of size [R,N] ever touches HBM.
+
+Layouts are transposed for the VPU: rays arrive as [8, R] (rows: org xyz,
+dir xyz, time, pad) and hit state leaves as [8, R] (rows: t, normal xyz,
+u, v, mat, valid) so the ray axis sits in the 128-wide lane dimension.
+
+Forward-only: the autodiff paths use the XLA scan (a custom VJP would
+duplicate the estimator); select with ``planar_closest_pallas`` where
+gradients are not required.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cpu_ray_tracing_implementation_tpu.ops import chunked as ch
+from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
+
+BIG = 1e30
+TILE_R = 1024
+
+# prim-constant pack rows (built host/trace-side from PlanarChunks)
+ROW_UNORM = 0     # 0:3   plane unit normal
+ROW_EVW = 3       # 3:6   ev x w   (a = q . evw)
+ROW_WEU = 6       # 6:9   w x eu   (b = q . weu)
+ROW_DPLANE = 9    # unorm . corner
+ROW_CA = 10       # corner . evw
+ROW_CB = 11       # corner . weu
+ROW_ACTIVE = 12   # 1.0 / 0.0
+ROW_MAT = 13      # material id as f32
+NROWS = 16        # padded
+
+# output rows
+OUT_T = 0
+OUT_NX, OUT_NY, OUT_NZ = 1, 2, 3
+OUT_U, OUT_V = 4, 5
+OUT_MAT = 6
+OUT_VALID = 7
+
+
+def pack_prim_constants(chunks: ch.PlanarChunks) -> jnp.ndarray:
+    """[K, NROWS, C] constant pack from chunk-major planar tables."""
+    corner, eu, ev = chunks.corner, chunks.eu, chunks.ev      # [K,C,3]
+    n = vm.cross(eu, ev)
+    unorm = vm.normalize(n)
+    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[..., None]
+    evw = vm.cross(ev, w)
+    weu = vm.cross(w, eu)
+    K, C = corner.shape[0], corner.shape[1]
+    pack = jnp.zeros((K, NROWS, C), jnp.float32)
+    pack = pack.at[:, ROW_UNORM:ROW_UNORM + 3].set(jnp.swapaxes(unorm, 1, 2))
+    pack = pack.at[:, ROW_EVW:ROW_EVW + 3].set(jnp.swapaxes(evw, 1, 2))
+    pack = pack.at[:, ROW_WEU:ROW_WEU + 3].set(jnp.swapaxes(weu, 1, 2))
+    pack = pack.at[:, ROW_DPLANE].set(vm.dot(unorm, corner))
+    pack = pack.at[:, ROW_CA].set(vm.dot(corner, evw))
+    pack = pack.at[:, ROW_CB].set(vm.dot(corner, weu))
+    pack = pack.at[:, ROW_ACTIVE].set(chunks.active.astype(jnp.float32))
+    pack = pack.at[:, ROW_MAT].set(chunks.mat.astype(jnp.float32))
+    return pack
+
+
+def _kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, triangle: bool, C: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[OUT_T, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+
+    org = rays_ref[0:3, :]            # [3, TILE_R]
+    dirs = rays_ref[3:6, :]
+    tmin = tmin_ref[0]
+
+    unorm = prim_ref[0, ROW_UNORM:ROW_UNORM + 3, :]   # [3, C]
+    evw = prim_ref[0, ROW_EVW:ROW_EVW + 3, :]
+    weu = prim_ref[0, ROW_WEU:ROW_WEU + 3, :]
+    d_plane = prim_ref[0, ROW_DPLANE, :]              # [C]
+    c_a = prim_ref[0, ROW_CA, :]
+    c_b = prim_ref[0, ROW_CB, :]
+    active = prim_ref[0, ROW_ACTIVE, :]
+    mats = prim_ref[0, ROW_MAT, :]
+
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    o_n = dot(org, unorm)             # [TILE_R, C]
+    d_n = dot(dirs, unorm)
+    hit_plane = jnp.abs(d_n) > 1e-20
+    t = jnp.where(hit_plane,
+                  (d_plane[None, :] - o_n) / jnp.where(hit_plane, d_n, 1.0), BIG)
+
+    a = dot(org, evw) + t * dot(dirs, evw) - c_a[None, :]
+    b = dot(org, weu) + t * dot(dirs, weu) - c_b[None, :]
+    if triangle:
+        interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+    else:
+        interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    t_prev = out_ref[OUT_T, :]        # [TILE_R]
+    ok = (hit_plane & (t >= tmin) & (t < t_prev[:, None]) & interior
+          & (active[None, :] > 0.5))
+    ts = jnp.where(ok, t, BIG)
+
+    t_c = jnp.min(ts, axis=1)                       # [TILE_R]
+    idx = jnp.argmin(ts, axis=1)
+    oh = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+          ).astype(jnp.float32)                     # [TILE_R, C]
+    ohdot = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    n_sel = ohdot(oh, unorm)                        # [TILE_R, 3]
+    u_sel = jnp.sum(oh * a, axis=1)
+    v_sel = jnp.sum(oh * b, axis=1)
+    m_sel = jnp.sum(oh * mats[None, :], axis=1)
+
+    better = t_c < t_prev
+    out_ref[OUT_T, :] = jnp.where(better, t_c, t_prev)
+    out_ref[OUT_NX, :] = jnp.where(better, n_sel[:, 0], out_ref[OUT_NX, :])
+    out_ref[OUT_NY, :] = jnp.where(better, n_sel[:, 1], out_ref[OUT_NY, :])
+    out_ref[OUT_NZ, :] = jnp.where(better, n_sel[:, 2], out_ref[OUT_NZ, :])
+    out_ref[OUT_U, :] = jnp.where(better, u_sel, out_ref[OUT_U, :])
+    out_ref[OUT_V, :] = jnp.where(better, v_sel, out_ref[OUT_V, :])
+    out_ref[OUT_MAT, :] = jnp.where(better, m_sel, out_ref[OUT_MAT, :])
+    out_ref[OUT_VALID, :] = jnp.where(better, 1.0, out_ref[OUT_VALID, :])
+
+
+@functools.partial(jax.jit, static_argnames=("triangle", "interpret"))
+def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
+                          triangle: bool = False, interpret: bool = False):
+    """Drop-in for ops.chunked.planar_closest (forward only).
+
+    Returns (t [R], (unorm [R,3], u [R], v [R], mat [R]))."""
+    R = org.shape[0]
+    K, C = chunks.corner.shape[0], chunks.corner.shape[1]
+    R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
+
+    rays = jnp.zeros((8, R_pad), jnp.float32)
+    rays = rays.at[0:3, :R].set(org.T)
+    rays = rays.at[3:6, :R].set(dirs.T)
+
+    pack = pack_prim_constants(chunks)
+    tmin_arr = jnp.asarray([tmin], jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, triangle=triangle, C=C),
+        out_shape=jax.ShapeDtypeStruct((8, R_pad), jnp.float32),
+        grid=(R_pad // TILE_R, K),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NROWS, C), lambda i, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE_R), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rays, pack, tmin_arr)
+
+    out = out[:, :R]
+    t = jnp.where(out[OUT_VALID] > 0.5, out[OUT_T], jnp.inf)
+    unorm = out[OUT_NX:OUT_NZ + 1].T
+    return t, (unorm, out[OUT_U], out[OUT_V],
+               jnp.round(out[OUT_MAT]).astype(jnp.int32))
+
+
+# ---------------------------------------------------------------- autodiff
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def planar_closest_fused(org, dirs, chunks, tmin, triangle):
+    """Pallas forward + XLA-scan backward: differentiable drop-in for
+    ops.chunked.planar_closest with the fused kernel on the forward pass."""
+    return planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle)
+
+
+def _fused_fwd(org, dirs, chunks, tmin, triangle):
+    out = planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle)
+    return out, (org, dirs, chunks)
+
+
+def _fused_bwd(tmin, triangle, res, ct):
+    org, dirs, chunks = res
+    _, vjp = jax.vjp(
+        lambda o, d, c: ch.planar_closest(o, d, c, tmin, triangle), org, dirs, chunks)
+    return vjp(ct)
+
+
+planar_closest_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def use_pallas() -> bool:
+    """Pallas path is on for TPU backends unless CRT_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("CRT_NO_PALLAS") == "1":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
