@@ -289,8 +289,14 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     sph_payload = quad_payload = tri_payload = None
     i_s = i_q = i_t = zero_i
     if scene.sphere_chunks is not None:
-        t_s, sph_payload = chunked.sphere_closest(org, dirs, time,
-                                                  scene.sphere_chunks, tmin)
+        from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+        if pk.use_pallas():
+            t_s, sph_payload = pk.sphere_closest_fused(
+                org, dirs, time, scene.sphere_chunks, tmin)
+        else:
+            t_s, sph_payload = chunked.sphere_closest(org, dirs, time,
+                                                      scene.sphere_chunks, tmin)
     elif n_sph:
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:

@@ -199,6 +199,180 @@ def _fused_bwd(tmin, triangle, res, ct):
 planar_closest_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+# ---------------------------------------------------------------- spheres
+# sphere constant pack rows
+SROW_C0 = 0       # 0:3
+SROW_DC = 3       # 3:6  c1 - c0 (motion)
+SROW_C0C0 = 6
+SROW_C0DC = 7
+SROW_DCDC = 8
+SROW_RAD2 = 9
+SROW_RAD = 10
+SROW_ACTIVE = 11
+SROW_MAT = 12
+SNROWS = 16
+
+# sphere output rows: t, center xyz (at ray time), rad, mat, valid
+SOUT_T = 0
+SOUT_CX, SOUT_CY, SOUT_CZ = 1, 2, 3
+SOUT_RAD = 4
+SOUT_MAT = 5
+SOUT_VALID = 6
+
+
+def pack_sphere_constants(chunks: ch.SphereChunks) -> jnp.ndarray:
+    """[K, SNROWS, C] constant pack from chunk-major sphere tables."""
+    c0, c1, rad = chunks.c0, chunks.c1, chunks.rad      # [K,C,3], [K,C]
+    dc = c1 - c0
+    K, C = rad.shape
+    pack = jnp.zeros((K, SNROWS, C), jnp.float32)
+    pack = pack.at[:, SROW_C0:SROW_C0 + 3].set(jnp.swapaxes(c0, 1, 2))
+    pack = pack.at[:, SROW_DC:SROW_DC + 3].set(jnp.swapaxes(dc, 1, 2))
+    pack = pack.at[:, SROW_C0C0].set(vm.dot(c0, c0))
+    pack = pack.at[:, SROW_C0DC].set(vm.dot(c0, dc))
+    pack = pack.at[:, SROW_DCDC].set(vm.dot(dc, dc))
+    pack = pack.at[:, SROW_RAD2].set(rad * rad)
+    pack = pack.at[:, SROW_RAD].set(rad)
+    pack = pack.at[:, SROW_ACTIVE].set(chunks.active.astype(jnp.float32))
+    pack = pack.at[:, SROW_MAT].set(chunks.mat.astype(jnp.float32))
+    return pack
+
+
+def _sphere_kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, C: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        out_ref[SOUT_T, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        out_ref[SOUT_RAD, :] = jnp.ones((out_ref.shape[1],), jnp.float32)
+
+    org = rays_ref[0:3, :]            # [3, TILE_R]
+    dirs = rays_ref[3:6, :]
+    tm = rays_ref[6, :]               # ray time (motion blur)
+    tmin = tmin_ref[0]
+
+    c0 = prim_ref[0, SROW_C0:SROW_C0 + 3, :]   # [3, C]
+    dc = prim_ref[0, SROW_DC:SROW_DC + 3, :]
+    c0c0 = prim_ref[0, SROW_C0C0, :]
+    c0dc = prim_ref[0, SROW_C0DC, :]
+    dcdc = prim_ref[0, SROW_DCDC, :]
+    rad2 = prim_ref[0, SROW_RAD2, :]
+    rad = prim_ref[0, SROW_RAD, :]
+    active = prim_ref[0, SROW_ACTIVE, :]
+    mats = prim_ref[0, SROW_MAT, :]
+
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    d_c = dot(dirs, c0) + tm[:, None] * dot(dirs, dc)       # [TILE_R, C]
+    o_c = dot(org, c0) + tm[:, None] * dot(org, dc)
+    cc = (c0c0[None, :] + 2.0 * tm[:, None] * c0dc[None, :]
+          + (tm * tm)[:, None] * dcdc[None, :])
+    a = jnp.sum(dirs * dirs, axis=0)[:, None]               # [TILE_R, 1]
+    oo = jnp.sum(org * org, axis=0)[:, None]
+    do = jnp.sum(dirs * org, axis=0)[:, None]
+    b = 2.0 * (do - d_c)
+    c = oo - 2.0 * o_c + cc - rad2[None, :]
+    disc = b * b - 4.0 * a * c
+    has = disc > 0.0
+    sqrtd = jnp.sqrt(jnp.where(has, disc, 1.0))
+    a_safe = jnp.maximum(a, 1e-20)
+    t0 = (-b - sqrtd) / (2.0 * a_safe)
+    t1 = (-b + sqrtd) / (2.0 * a_safe)
+    t_prev = out_ref[SOUT_T, :]
+    in0 = (t0 >= tmin) & (t0 < t_prev[:, None])
+    in1 = (t1 >= tmin) & (t1 < t_prev[:, None])
+    t = jnp.where(in0, t0, jnp.where(in1, t1, BIG))
+    ts = jnp.where(has & (active[None, :] > 0.5), t, BIG)
+
+    t_c = jnp.min(ts, axis=1)
+    idx = jnp.argmin(ts, axis=1)
+    oh = (idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+          ).astype(jnp.float32)
+    ohdot = functools.partial(jax.lax.dot_general,
+                              dimension_numbers=(((1,), (1,)), ((), ())),
+                              precision=jax.lax.Precision.HIGHEST)
+    c0_sel = ohdot(oh, c0)                                  # [TILE_R, 3]
+    dc_sel = ohdot(oh, dc)
+    ctr = c0_sel + tm[:, None] * dc_sel
+    rad_sel = jnp.sum(oh * rad[None, :], axis=1)
+    m_sel = jnp.sum(oh * mats[None, :], axis=1)
+
+    better = t_c < t_prev
+    out_ref[SOUT_T, :] = jnp.where(better, t_c, t_prev)
+    out_ref[SOUT_CX, :] = jnp.where(better, ctr[:, 0], out_ref[SOUT_CX, :])
+    out_ref[SOUT_CY, :] = jnp.where(better, ctr[:, 1], out_ref[SOUT_CY, :])
+    out_ref[SOUT_CZ, :] = jnp.where(better, ctr[:, 2], out_ref[SOUT_CZ, :])
+    out_ref[SOUT_RAD, :] = jnp.where(better, jnp.maximum(rad_sel, 1e-20),
+                                     out_ref[SOUT_RAD, :])
+    out_ref[SOUT_MAT, :] = jnp.where(better, m_sel, out_ref[SOUT_MAT, :])
+    out_ref[SOUT_VALID, :] = jnp.where(better, 1.0, out_ref[SOUT_VALID, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
+                          interpret: bool = False):
+    """Drop-in for ops.chunked.sphere_closest (forward only).
+
+    Returns (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
+    R = org.shape[0]
+    K, C = chunks.rad.shape
+    R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
+
+    rays = jnp.zeros((8, R_pad), jnp.float32)
+    rays = rays.at[0:3, :R].set(org.T)
+    rays = rays.at[3:6, :R].set(dirs.T)
+    rays = rays.at[6, :R].set(time)
+
+    pack = pack_sphere_constants(chunks)
+    tmin_arr = jnp.asarray([tmin], jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_sphere_kernel, C=C),
+        out_shape=jax.ShapeDtypeStruct((8, R_pad), jnp.float32),
+        grid=(R_pad // TILE_R, K),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SNROWS, C), lambda i, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((8, TILE_R), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(rays, pack, tmin_arr)
+
+    out = out[:, :R]
+    t = jnp.where(out[SOUT_VALID] > 0.5, out[SOUT_T], jnp.inf)
+    center = out[SOUT_CX:SOUT_CZ + 1].T
+    return t, (center, out[SOUT_RAD],
+               jnp.round(out[SOUT_MAT]).astype(jnp.int32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sphere_closest_fused(org, dirs, time, chunks, tmin):
+    """Pallas forward + XLA-scan backward for sphere chunks."""
+    return sphere_closest_pallas(org, dirs, time, chunks, tmin)
+
+
+def _sfused_fwd(org, dirs, time, chunks, tmin):
+    out = sphere_closest_pallas(org, dirs, time, chunks, tmin)
+    return out, (org, dirs, time, chunks)
+
+
+def _sfused_bwd(tmin, res, ct):
+    org, dirs, time, chunks = res
+    _, vjp = jax.vjp(
+        lambda o, d, tm, c: ch.sphere_closest(o, d, tm, c, tmin),
+        org, dirs, time, chunks)
+    return vjp(ct)
+
+
+sphere_closest_fused.defvjp(_sfused_fwd, _sfused_bwd)
+
+
 def use_pallas() -> bool:
     """Pallas path is on for TPU backends unless CRT_NO_PALLAS=1."""
     import os

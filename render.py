@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="spp-chunked render with resume from PATH")
     p.add_argument("--chunk-spp", type=int, default=16,
                    help="samples per checkpoint chunk (with --checkpoint)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler device trace to DIR")
     p.add_argument("--list", action="store_true", help="list scenes and exit")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for filename + scene number like the reference")
@@ -81,23 +83,26 @@ def main(argv=None) -> int:
     print(f"Rendering {scene_name}: {cam.width}x{cam.height}, "
           f"{cam.spp} spp, depth {cam.max_depth} on {jax.devices()[0].platform}")
 
+    from cpu_ray_tracing_implementation_tpu.utils import profiling
+
     key = jax.random.key(args.seed)
     t0 = time.time()
-    if args.checkpoint:
-        from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ckpt
+    with profiling.device_trace(args.profile):
+        if args.checkpoint:
+            from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ckpt
 
-        img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
-                                          chunk_spp=args.chunk_spp,
-                                          ckpt_path=args.checkpoint)
-    elif args.sharded and len(jax.devices()) > 1:
-        from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+            img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
+                                              chunk_spp=args.chunk_spp,
+                                              ckpt_path=args.checkpoint)
+        elif args.sharded and len(jax.devices()) > 1:
+            from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
 
-        img = pm.render_image_sharded(scene, cam, key, pm.make_mesh())
-    else:
-        img = integrator.render_image(scene, cam, key)
-    import numpy as np
+            img = pm.render_image_sharded(scene, cam, key, pm.make_mesh())
+        else:
+            img = integrator.render_image(scene, cam, key)
+        import numpy as np
 
-    a = np.asarray(img)
+        a = np.asarray(img)
     dt = time.time() - t0
     rays = cam.width * cam.height * cam.spp
     print(f"Done in {dt:.2f}s ({rays / dt / 1e6:.2f}M camera rays/s)")

@@ -79,3 +79,31 @@ def test_ray_padding_lanes_never_hit():
 def test_use_pallas_gate(monkeypatch):
     monkeypatch.setenv("CRT_NO_PALLAS", "1")
     assert not pk.use_pallas()
+
+
+def test_sphere_kernel_matches_scan():
+    b = SceneBuilder()
+    r = np.random.default_rng(7)
+    m = b.lambertian((1, 1, 1))
+    for _ in range(700):
+        c = r.uniform(-10, 10, 3)
+        b.moving_sphere(c, c + [0.3, 0, 0], r.uniform(0.1, 0.5), m)
+    scene = b.build()
+    assert scene.sphere_chunks is not None
+    rng = np.random.default_rng(8)
+    org, dirs = _rays(rng)
+    time = jnp.full((org.shape[0],), 0.4)
+
+    t_ref, (c_ref, r_ref, m_ref) = chunked.sphere_closest(
+        org, dirs, time, scene.sphere_chunks, 1e-3)
+    t_pk, (c_pk, r_pk, m_pk) = pk.sphere_closest_pallas(
+        org, dirs, time, scene.sphere_chunks, 1e-3, interpret=True)
+
+    valid = np.isfinite(np.asarray(t_ref))
+    assert valid.sum() > 50
+    np.testing.assert_array_equal(np.isfinite(np.asarray(t_pk)), valid)
+    np.testing.assert_allclose(np.asarray(t_pk)[valid], np.asarray(t_ref)[valid],
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(c_pk)[valid], np.asarray(c_ref)[valid],
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(m_pk)[valid], np.asarray(m_ref)[valid])
