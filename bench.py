@@ -57,8 +57,9 @@ def main():
     _sync(img)
     t0 = time.time()
     img = integrator.render_image(scene_m, cam_m, jax.random.key(1), spp=40)
-    _sync(img)
+    a = np.asarray(img)
     fwd_matched = 600 * 600 * 40 / (time.time() - t0)
+    assert np.isfinite(a).all(), "matched-workload render produced non-finite pixels"
 
     print(json.dumps({
         "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",

@@ -85,12 +85,15 @@ def _planar_chunk_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle):
     # finite sentinel: inf t would leak NaN grads via a = o_a + t*d_a
     t = jnp.where(ok0, (d_plane[None, :] - o_n) / jnp.where(ok0, d_n, 1.0), 1e30)
 
-    a = (jnp.einsum("rk,nk->rn", org, evw, precision=hi)
-         + t * jnp.einsum("rk,nk->rn", dirs, evw, precision=hi)
-         - vm.dot(corner, evw)[None, :])
-    b = (jnp.einsum("rk,nk->rn", org, weu, precision=hi)
-         + t * jnp.einsum("rk,nk->rn", dirs, weu, precision=hi)
-         - vm.dot(corner, weu)[None, :])
+    # clip: the 1e30 t sentinel times a sliver primitive's large edge
+    # constant can overflow to inf, and the one-hot payload select would
+    # then produce 0*inf = NaN even on losing lanes
+    a = jnp.clip(jnp.einsum("rk,nk->rn", org, evw, precision=hi)
+                 + t * jnp.einsum("rk,nk->rn", dirs, evw, precision=hi)
+                 - vm.dot(corner, evw)[None, :], -1e30, 1e30)
+    b = jnp.clip(jnp.einsum("rk,nk->rn", org, weu, precision=hi)
+                 + t * jnp.einsum("rk,nk->rn", dirs, weu, precision=hi)
+                 - vm.dot(corner, weu)[None, :], -1e30, 1e30)
     if triangle:
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
@@ -99,16 +102,18 @@ def _planar_chunk_ts(org, dirs, corner, eu, ev, active, tmin, tmax, triangle):
     return jnp.where(ok, t, INF), a, b, unorm
 
 
-def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool):
-    """Closest hit over all chunks.
+def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool,
+                   tmax=INF):
+    """Closest hit over all chunks, within [tmin, tmax].
 
     Returns (t [R], payload) with payload = (unorm [R,3], u [R], v [R],
     mat [R]) of the winning primitive (zeros when t == inf).
     """
     R = org.shape[0]
     f32 = org.dtype
+    t_init = jnp.minimum(jnp.full((R,), INF, f32), tmax)
     init = (
-        jnp.full((R,), INF, f32),
+        t_init,
         jnp.zeros((R, 3), f32),  # plane unit normal (outward by winding)
         jnp.zeros((R,), f32),    # u
         jnp.zeros((R,), f32),    # v
@@ -147,7 +152,7 @@ def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool):
           chunks.lo, chunks.hi)
     out, _ = jax.lax.scan(step, init, xs)
     t, unorm, u, v, mat = out
-    return t, (unorm, u, v, mat)
+    return jnp.where(t < t_init, t, INF), (unorm, u, v, mat)
 
 
 def _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active, tmin, tmax):
@@ -178,15 +183,16 @@ def _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active, tmin, tmax):
     return jnp.where(has & active[None, :], t, INF)
 
 
-def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin):
-    """Closest sphere hit over all chunks.
+def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin, tmax=INF):
+    """Closest sphere hit over all chunks, within [tmin, tmax].
 
     Returns (t [R], payload) with payload = (center_at_t [R,3], rad [R],
     mat [R])."""
     R = org.shape[0]
     f32 = org.dtype
+    t_init = jnp.minimum(jnp.full((R,), INF, f32), tmax)
     init = (
-        jnp.full((R,), INF, f32),
+        t_init,
         jnp.zeros((R, 3), f32),  # time-lerped center of the winner
         jnp.ones((R,), f32),     # radius
         jnp.zeros((R,), jnp.int32),
@@ -224,4 +230,4 @@ def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin):
           chunks.lo, chunks.hi)
     out, _ = jax.lax.scan(step, init, xs)
     t, center, rad, mat = out
-    return t, (center, rad, mat)
+    return jnp.where(t < t_init, t, INF), (center, rad, mat)

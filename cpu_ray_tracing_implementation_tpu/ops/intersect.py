@@ -75,6 +75,10 @@ def sphere_ts(org, dirs, time, sph, tmin, tmax):
     a = vm.dot(dirs, dirs)[:, None]                     # [R,1]
     oo = vm.dot(org, org)[:, None]                      # [R,1]
     b = 2.0 * (jnp.einsum("rk,rk->r", dirs, org, precision="highest")[:, None] - d_c)
+    # NOTE: the expanded |o-c|^2 = oo - 2 o.c + |c|^2 cancels catastrophically
+    # in f32 when |center| >> radius (scene coordinates beyond ~1e3 with unit
+    # spheres); the catalog's coordinate ranges are safe. For far-from-origin
+    # scenes, recenter geometry at build time.
     c = oo - 2.0 * o_c + cc - (sph.rad * sph.rad)[None, :]
     disc = b * b - 4.0 * a * c
     has = disc > 0.0
@@ -293,10 +297,10 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
 
         if pk.use_pallas():
             t_s, sph_payload = pk.sphere_closest_fused(
-                org, dirs, time, scene.sphere_chunks, tmin)
+                org, dirs, time, scene.sphere_chunks, tmin, tmax)
         else:
-            t_s, sph_payload = chunked.sphere_closest(org, dirs, time,
-                                                      scene.sphere_chunks, tmin)
+            t_s, sph_payload = chunked.sphere_closest(
+                org, dirs, time, scene.sphere_chunks, tmin, tmax=tmax)
     elif n_sph:
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:
@@ -307,8 +311,9 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
         if pk.use_pallas():
-            return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag)
-        return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag)
+            return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag, tmax)
+        return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag,
+                                      tmax=tmax)
 
     if scene.quad_chunks is not None:
         t_q, quad_payload = planar_path(scene.quad_chunks, False)
@@ -354,12 +359,17 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         vv = jnp.where(cond, v_k, vv)
         mat = jnp.where(cond, m_k, mat)
 
-    def planar_attrs(payload, t_k):
-        """(p, normal, front, u, v, mat) from a chunked planar payload."""
+    def planar_attrs(payload, t_k, zero_uv=False):
+        """(p, normal, front, u, v, mat) from a chunked planar payload.
+        ``zero_uv``: triangles carry no UV in the reference (src/triangle.h),
+        matching the dense tri_shading path."""
         unorm, u_k, v_k, m_k = payload
         pk = org + jnp.where(jnp.isfinite(t_k), t_k, 0.0)[:, None] * dirs
         front_k = vm.dot(dirs, unorm) < 0.0
         normal_k = jnp.where(front_k[:, None], unorm, -unorm)
+        if zero_uv:
+            u_k = jnp.zeros_like(u_k)
+            v_k = jnp.zeros_like(v_k)
         return pk, normal_k, front_k, u_k, v_k, m_k
 
     if scene.sphere_chunks is not None:
@@ -379,7 +389,7 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         merge(which == 1, quad_shading(org, dirs, scene.quads, i_q,
                                        jnp.where(jnp.isfinite(t_q), t_q, 0.0)))
     if scene.tri_chunks is not None:
-        merge(which == 2, planar_attrs(tri_payload, t_t))
+        merge(which == 2, planar_attrs(tri_payload, t_t, zero_uv=True))
     elif n_tri:
         merge(which == 2, tri_shading(org, dirs, scene.tris, i_t,
                                       jnp.where(jnp.isfinite(t_t), t_t, 0.0)))

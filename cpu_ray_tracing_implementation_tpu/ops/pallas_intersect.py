@@ -78,7 +78,8 @@ def _kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, triangle: bool, C: int):
     @pl.when(k == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
-        out_ref[OUT_T, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        out_ref[OUT_T, :] = jnp.full((out_ref.shape[1],),
+                                     jnp.minimum(BIG, tmin_ref[1]), jnp.float32)
 
     org = rays_ref[0:3, :]            # [3, TILE_R]
     dirs = rays_ref[3:6, :]
@@ -102,8 +103,10 @@ def _kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, triangle: bool, C: int):
     t = jnp.where(hit_plane,
                   (d_plane[None, :] - o_n) / jnp.where(hit_plane, d_n, 1.0), BIG)
 
-    a = dot(org, evw) + t * dot(dirs, evw) - c_a[None, :]
-    b = dot(org, weu) + t * dot(dirs, weu) - c_b[None, :]
+    # clip: t sentinel x sliver-primitive constants can overflow to inf and
+    # the one-hot payload select would produce 0*inf = NaN
+    a = jnp.clip(dot(org, evw) + t * dot(dirs, evw) - c_a[None, :], -BIG, BIG)
+    b = jnp.clip(dot(org, weu) + t * dot(dirs, weu) - c_b[None, :], -BIG, BIG)
     if triangle:
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
@@ -138,7 +141,8 @@ def _kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, triangle: bool, C: int):
 
 @functools.partial(jax.jit, static_argnames=("triangle", "interpret"))
 def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
-                          triangle: bool = False, interpret: bool = False):
+                          triangle: bool = False, interpret: bool = False,
+                          tmax=BIG):
     """Drop-in for ops.chunked.planar_closest (forward only).
 
     Returns (t [R], (unorm [R,3], u [R], v [R], mat [R]))."""
@@ -151,7 +155,8 @@ def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
     rays = rays.at[3:6, :R].set(dirs.T)
 
     pack = pack_prim_constants(chunks)
-    tmin_arr = jnp.asarray([tmin], jnp.float32)
+    tmin_arr = jnp.stack([jnp.asarray(tmin, jnp.float32),
+                          jnp.minimum(jnp.asarray(tmax, jnp.float32), BIG)])
 
     out = pl.pallas_call(
         functools.partial(_kernel, triangle=triangle, C=C),
@@ -177,22 +182,25 @@ def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
 
 
 # ---------------------------------------------------------------- autodiff
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def planar_closest_fused(org, dirs, chunks, tmin, triangle):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def planar_closest_fused(org, dirs, chunks, tmin, triangle, tmax=BIG):
     """Pallas forward + XLA-scan backward: differentiable drop-in for
     ops.chunked.planar_closest with the fused kernel on the forward pass."""
-    return planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle)
+    return planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle,
+                                 tmax=tmax)
 
 
-def _fused_fwd(org, dirs, chunks, tmin, triangle):
-    out = planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle)
+def _fused_fwd(org, dirs, chunks, tmin, triangle, tmax):
+    out = planar_closest_pallas(org, dirs, chunks, tmin, triangle=triangle,
+                                tmax=tmax)
     return out, (org, dirs, chunks)
 
 
-def _fused_bwd(tmin, triangle, res, ct):
+def _fused_bwd(tmin, triangle, tmax, res, ct):
     org, dirs, chunks = res
     _, vjp = jax.vjp(
-        lambda o, d, c: ch.planar_closest(o, d, c, tmin, triangle), org, dirs, chunks)
+        lambda o, d, c: ch.planar_closest(o, d, c, tmin, triangle, tmax=tmax),
+        org, dirs, chunks)
     return vjp(ct)
 
 
@@ -244,7 +252,8 @@ def _sphere_kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, C: int):
     @pl.when(k == 0)
     def _init():
         out_ref[:] = jnp.zeros_like(out_ref)
-        out_ref[SOUT_T, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        out_ref[SOUT_T, :] = jnp.full((out_ref.shape[1],),
+                                      jnp.minimum(BIG, tmin_ref[1]), jnp.float32)
         out_ref[SOUT_RAD, :] = jnp.ones((out_ref.shape[1],), jnp.float32)
 
     org = rays_ref[0:3, :]            # [3, TILE_R]
@@ -312,7 +321,7 @@ def _sphere_kernel(rays_ref, prim_ref, tmin_ref, out_ref, *, C: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
-                          interpret: bool = False):
+                          interpret: bool = False, tmax=BIG):
     """Drop-in for ops.chunked.sphere_closest (forward only).
 
     Returns (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
@@ -326,7 +335,8 @@ def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
     rays = rays.at[6, :R].set(time)
 
     pack = pack_sphere_constants(chunks)
-    tmin_arr = jnp.asarray([tmin], jnp.float32)
+    tmin_arr = jnp.stack([jnp.asarray(tmin, jnp.float32),
+                          jnp.minimum(jnp.asarray(tmax, jnp.float32), BIG)])
 
     out = pl.pallas_call(
         functools.partial(_sphere_kernel, C=C),
@@ -351,21 +361,21 @@ def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
                jnp.round(out[SOUT_MAT]).astype(jnp.int32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def sphere_closest_fused(org, dirs, time, chunks, tmin):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def sphere_closest_fused(org, dirs, time, chunks, tmin, tmax=BIG):
     """Pallas forward + XLA-scan backward for sphere chunks."""
-    return sphere_closest_pallas(org, dirs, time, chunks, tmin)
+    return sphere_closest_pallas(org, dirs, time, chunks, tmin, tmax=tmax)
 
 
-def _sfused_fwd(org, dirs, time, chunks, tmin):
-    out = sphere_closest_pallas(org, dirs, time, chunks, tmin)
+def _sfused_fwd(org, dirs, time, chunks, tmin, tmax):
+    out = sphere_closest_pallas(org, dirs, time, chunks, tmin, tmax=tmax)
     return out, (org, dirs, time, chunks)
 
 
-def _sfused_bwd(tmin, res, ct):
+def _sfused_bwd(tmin, tmax, res, ct):
     org, dirs, time, chunks = res
     _, vjp = jax.vjp(
-        lambda o, d, tm, c: ch.sphere_closest(o, d, tm, c, tmin),
+        lambda o, d, tm, c: ch.sphere_closest(o, d, tm, c, tmin, tmax=tmax),
         org, dirs, time, chunks)
     return vjp(ct)
 

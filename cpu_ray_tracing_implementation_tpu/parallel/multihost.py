@@ -37,10 +37,14 @@ def global_mesh() -> "jax.sharding.Mesh":
 def render_image_global(scene, camera, key, spp: int | None = None):
     """Render with pixels sharded over the global (multi-host) mesh.
 
-    Returns the full image as a host-local numpy array on every process
-    (the global array is gathered via ``jax.device_get`` of the addressable
-    shards + allgather that jit already performed).
+    Returns the full image as a host-local numpy array on every process.
+    The render output is sharded across all hosts' chips (non-addressable
+    from any single process), so it is gathered with process_allgather.
     """
     mesh = global_mesh()
     img = pm.render_image_sharded(scene, camera, key, mesh, spp=spp)
-    return np.asarray(jax.device_get(img))
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(img))
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(img, tiled=True))

@@ -5,8 +5,9 @@ once at the end, src/camera.h:174,328 — a crash loses everything). The
 wavefront design makes checkpointing natural: rendering is spp-chunked
 accumulation, so the durable state is just (radiance sum, samples done) plus
 the base seed. Because every sample is keyed by its global sample index
-(integrator.accumulate_samples), a resumed render produces the bitwise-same
-image as an uninterrupted one.
+(integrator.accumulate_samples), a resumed render draws the identical sample
+set as an uninterrupted one (equal up to f32 summation order across chunk
+boundaries — ~1 ulp per chunk).
 
 Checkpoints are .npz files written atomically (tmp + rename) with a config
 fingerprint; a mismatched fingerprint (different scene/camera/seed) is
@@ -27,10 +28,11 @@ from cpu_ray_tracing_implementation_tpu.models import integrator
 
 
 def _fingerprint(scene, camera, seed: int) -> str:
-    """Cheap structural hash of the render config: scene table shapes and
-    sums, camera statics, seed."""
+    """Cheap structural hash of the render config: scene AND camera pytree
+    leaves (pose/optics included — a resumed render with a moved camera must
+    be refused, not blended), camera statics, seed."""
     h = hashlib.sha256()
-    for leaf in jax.tree.leaves(scene):
+    for leaf in jax.tree.leaves(scene) + jax.tree.leaves(camera):
         a = np.asarray(leaf)
         h.update(str(a.shape).encode())
         h.update(np.ascontiguousarray(a.astype(np.float64, copy=False)
