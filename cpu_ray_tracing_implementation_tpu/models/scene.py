@@ -136,6 +136,9 @@ class Scene:
     # volumes). Tables pad to >=1 row; a zero count lets the integrator drop
     # that primitive type from the XLA graph entirely.
     counts: tuple = struct.field(pytree_node=False, default=(-1, -1, -1, -1))
+    # static set of material type codes present (like tex_types_used):
+    # unused material families never enter the scatter XLA graph
+    mat_types_used: tuple = struct.field(pytree_node=False, default=())
     # chunk-scan acceleration for large tables (ops/chunked.py): primitives
     # in BVH depth-first order, cut into fixed chunks with AABBs. None for
     # small tables (dense single-pass path).
@@ -508,6 +511,7 @@ class SceneBuilder:
             lights=jnp.asarray(np.array(self._lights, np.int32)),
             background=self._background,
             tex_types_used=tex_types_used,
+            mat_types_used=tuple(sorted({m["mtype"] for m in self._mats})),
             counts=(len(self._sph), len(self._quads), len(self._tris), len(self._vols)),
             sphere_chunks=sphere_chunks,
             quad_chunks=quad_chunks,

@@ -52,6 +52,8 @@ def _safe_div(num, den, fallback=0.0):
 
 def emitted(scene, hit) -> jnp.ndarray:
     """Front-face-only emission of diffuse_light (src/material.h:211-214)."""
+    if scene.mat_types_used and sc.MAT_DIFFUSE_LIGHT not in scene.mat_types_used:
+        return jnp.zeros(hit.p.shape, hit.p.dtype)
     n_m = scene.materials.mtype.shape[0]
     oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
     mt = tbl.take_rows(scene.materials.mtype, hit.mat, oh)
@@ -129,48 +131,75 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     n_m = mats.mtype.shape[0]
     oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
     mt = tbl.take_rows(mats.mtype, hit.mat, oh)
-    m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
-    m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
-    m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
-    m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
     atten = eval_texture(scene, tbl.take_rows(mats.tex, hit.mat, oh),
                          hit.u, hit.v, hit.p)
     n = hit.normal
     unit_d = vm.normalize(ray_dir)
 
+    # static family gating (like tex_types_used): branches for material
+    # families the scene doesn't contain never enter the XLA graph
+    used = scene.mat_types_used or (sc.MAT_LAMBERTIAN, sc.MAT_METAL,
+                                    sc.MAT_DIELECTRIC, sc.MAT_GLOSS,
+                                    sc.MAT_ISOTROPIC, sc.MAT_DIFFUSE_LIGHT)
+    has_metal = sc.MAT_METAL in used
+    has_diel = sc.MAT_DIELECTRIC in used
+    has_gloss = sc.MAT_GLOSS in used
+    has_iso = sc.MAT_ISOTROPIC in used
+
     cos_sample = smp.cosine_dir(n, u[:, SLOT_DIR1], u[:, SLOT_DIR2])
-    sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
-    fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
+    false_r = jnp.zeros(mt.shape, bool)
 
-    # --- metal: mirror + fuzz, kDetermined (src/material.h:85-92)
-    metal_dir = vm.normalize(vm.reflect(ray_dir, n)) + m_fuzz[:, None] * fuzz_vec
+    det_dir = cos_sample
+    det_weight = atten
+    is_metal = is_diel = is_gloss_spec = false_r
 
-    # --- dielectric: Schlick reflect-vs-refract, kDetermined (src/material.h:113-131)
-    ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
-    cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-    cant_refract = ri * sin_theta > 1.0
-    must_reflect = cant_refract | (smp.schlick_reflectance(cos_theta, ri) > u[:, SLOT_DECISION])
-    diel_dir = jnp.where(must_reflect[:, None],
-                         vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
+    if has_metal:
+        # --- metal: mirror + fuzz, kDetermined (src/material.h:85-92)
+        m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
+        fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
+        metal_dir = (vm.normalize(vm.reflect(ray_dir, n))
+                     + m_fuzz[:, None] * fuzz_vec)
+        is_metal = mt == sc.MAT_METAL
+        det_dir = jnp.where(is_metal[:, None], metal_dir, det_dir)
 
-    # --- gloss: probabilistic specular lerp, else cosine diffuse (src/material.h:158-173)
-    spec_raw = vm.reflect(ray_dir, n)  # unnormalized, as in the reference
-    gloss_spec_dir = vm.normalize(
-        vm.lerp(m_smooth[:, None], cos_sample, spec_raw))
-    gloss_is_spec = u[:, SLOT_DECISION] <= m_spec
+    if has_diel:
+        # --- dielectric: Schlick reflect/refract, kDetermined (src/material.h:113-131)
+        m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
+        ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
+        cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        cant_refract = ri * sin_theta > 1.0
+        must_reflect = cant_refract | (
+            smp.schlick_reflectance(cos_theta, ri) > u[:, SLOT_DECISION])
+        diel_dir = jnp.where(must_reflect[:, None],
+                             vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
+        is_diel = mt == sc.MAT_DIELECTRIC
+        det_dir = jnp.where(is_diel[:, None], diel_dir, det_dir)
 
-    is_metal = mt == sc.MAT_METAL
-    is_diel = mt == sc.MAT_DIELECTRIC
-    is_gloss_spec = (mt == sc.MAT_GLOSS) & gloss_is_spec
+    if has_gloss:
+        # --- gloss: probabilistic specular lerp, else cosine diffuse
+        # (src/material.h:158-173)
+        m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
+        m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
+        spec_raw = vm.reflect(ray_dir, n)  # unnormalized, as in the reference
+        gloss_spec_dir = vm.normalize(
+            vm.lerp(m_smooth[:, None], cos_sample, spec_raw))
+        gloss_is_spec = u[:, SLOT_DECISION] <= m_spec
+        is_gloss_spec = (mt == sc.MAT_GLOSS) & gloss_is_spec
+        det_dir = jnp.where(is_gloss_spec[:, None], gloss_spec_dir, det_dir)
+        det_weight = jnp.where(is_gloss_spec[:, None],
+                               jnp.ones_like(atten), det_weight)
+
     is_det = is_metal | is_diel | is_gloss_spec
-    det_dir = jnp.where(is_metal[:, None], metal_dir,
-                        jnp.where(is_diel[:, None], diel_dir, gloss_spec_dir))
-    det_weight = jnp.where(is_gloss_spec[:, None], jnp.ones_like(atten), atten)
 
     # --- kRandom lanes: material sample, optional dual-pdf light MIS
-    is_iso = mt == sc.MAT_ISOTROPIC
-    mat_sample = jnp.where(is_iso[:, None], sph_sample, cos_sample)
+    if has_iso:
+        sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
+        is_iso = mt == sc.MAT_ISOTROPIC
+        mat_sample = jnp.where(is_iso[:, None], sph_sample, cos_sample)
+    else:
+        is_iso = false_r
+        mat_sample = cos_sample
 
     if scene.has_lights:
         ldir = light_sample(scene, hit.p, u[:, SLOT_LIGHT_PICK],
@@ -187,7 +216,9 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     p_scat = jnp.where(is_iso, smp.INV_4PI, smp.cosine_pdf(n, rnd_dir))
     rnd_weight = atten * _safe_div(p_scat, pdf_val, 0.0)[:, None]
 
-    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
+    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
+    if has_gloss:
+        is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
     continues = hit.valid & (is_det | is_rand)
     new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
     weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
