@@ -38,14 +38,44 @@ def build_parser() -> argparse.ArgumentParser:
                    help="samples per checkpoint chunk (with --checkpoint)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler device trace to DIR")
+    p.add_argument("--config", default=None, metavar="JSON",
+                   help="load render settings from a JSON config file "
+                        "(CLI flags override)")
+    p.add_argument("--save-config", default=None, metavar="JSON",
+                   help="write the resolved settings to a JSON config file")
     p.add_argument("--list", action="store_true", help="list scenes and exit")
     p.add_argument("--interactive", action="store_true",
                    help="prompt for filename + scene number like the reference")
     return p
 
 
+CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
+               "format", "sharded", "checkpoint", "chunk_spp")
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.config:
+        # the config system the reference README promises but never ships
+        # (SURVEY.md appendix item 9): JSON defaults, CLI flags win
+        import json as _json
+
+        with open(args.config) as f:
+            cfg = _json.load(f)
+        parser = build_parser()
+        for k, v in cfg.items():
+            if k in CONFIG_KEYS and getattr(args, k, None) in (None, False) \
+                    and parser.get_default(k) == getattr(args, k):
+                setattr(args, k, v)
+
+    if args.save_config:
+        import json as _json
+
+        with open(args.save_config, "w") as f:
+            _json.dump({k: getattr(args, k) for k in CONFIG_KEYS
+                        if getattr(args, k) is not None}, f, indent=1)
+        print(f"Wrote config to {args.save_config}")
 
     import jax
 
