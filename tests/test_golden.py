@@ -1,0 +1,59 @@
+"""Golden radiometric regression: mean radiance of every catalog scene at a
+tiny fixed workload (16px, 4spp, depth 3, key 42, CPU backend) must stay
+within Monte-Carlo-noise distance of the recorded value.
+
+These pins catch silent estimator/brightness regressions that structural
+tests miss (e.g. an estimator-weight bug shifts every mean). Regenerate
+deliberately if the estimator changes:
+
+    python - <<'PY'
+    import jax; jax.config.update('jax_platforms', 'cpu')
+    import numpy as np
+    from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+    for n in sorted(catalog.SCENES):
+        s, c = catalog.SCENES[n](width=16, spp=4, max_depth=3)
+        print(n, np.asarray(integrator.render_image(s, c, jax.random.key(42))).mean())
+    PY
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+
+# recorded 2026-08-17 (round 1)
+GOLDEN_MEANS = {
+    "cornell_box": 0.100140,
+    "cornell_box_with_glossy_ball": 0.229952,
+    "cornell_box_with_rotated_box": 0.536886,
+    "cornell_box_with_specular_box": 0.490410,
+    "cornell_box_with_volume": 0.491521,
+    "different_fuzz_metal": 0.258613,
+    "glass_fox": 0.612862,
+    "infinite_reflection": 0.377098,
+    "perlin_texture_ball": 0.451571,
+    "random_motion_ball": 0.415790,
+    "simple_light_earth": 0.042970,
+    "skybox_and_fisheye": 0.637904,
+    "skybox_and_motion_blur": 0.627538,
+    "sphereflake": 0.588514,
+    # sponza: geometry absent from the snapshot (.bin missing) -> black
+    "sponza": 0.000000,
+    "test_perlin_noise": 0.491395,
+    "test_value_noise": 0.505920,
+    "test_voronoi_noise": 0.469763,
+    "test_worley_noise": 0.314934,
+    "three_material_ball": 0.545258,
+    "three_material_ball_with_defocus_blur": 0.597266,
+    "white_sphere": 0.999023,
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_MEANS))
+def test_golden_mean(name):
+    scene, cam = catalog.SCENES[name](width=16, spp=4, max_depth=3)
+    img = np.asarray(integrator.render_image(scene, cam, jax.random.key(42)))
+    expect = GOLDEN_MEANS[name]
+    # identical key/workload: exact up to cross-platform fp reassociation
+    np.testing.assert_allclose(img.mean(), expect, atol=2e-3)
