@@ -406,19 +406,25 @@ def glass_fox(width=None, spp=None, max_depth=None):
     return b.build(), cam.perspective(w, 1.0, (220, 220, 220), (0, 20, 0), 1, 45.0, s, d)
 
 
-def sponza(width=None, spp=None, max_depth=None):
-    """main.cc:439-498 (262k-triangle BVH scale test; Sponza.bin absent from
-    the snapshot -> loader degrades to whatever primitives are readable)."""
-    from cpu_ray_tracing_implementation_tpu.utils import gltf
+def sponza(width=None, spp=None, max_depth=None, substitute_tris=260_000):
+    """main.cc:439-498 (262k-triangle BVH scale test). Sponza.bin is absent
+    from the snapshot (.MISSING_LARGE_BLOBS), so when the glTF loader comes
+    back empty a procedural colonnade hall of matching triangle count stands
+    in — same machinery (large-mesh chunk scan / Pallas), real structure."""
+    from cpu_ray_tracing_implementation_tpu.utils import gltf, procgen
 
     w, s, d = _cam_args(width, spp, max_depth, 200, 30, 5)
     b = SceneBuilder()
     white = b.lambertian((1.0, 1.0, 1.0))
     verts = gltf.load_triangles(image_io.reference_asset("Sponza/glTF/Sponza.gltf"))
-    if len(verts):
-        b.triangles(verts, white)
+    if not len(verts):
+        # scaled-down runs (tests) get a proportionally smaller hall
+        n = substitute_tris if w >= 200 else max(2000, w * w * 40)
+        verts = procgen.colonnade_hall(target_tris=n)
+    b.triangles(verts, white)
     light_q = b.quad((0, 1200, 0), (500, 0, 0), (0, 0, 500), b.diffuse_light((10, 10, 10)))
     b.light(light_q)
+    b.set_background(b.solid((0.3, 0.35, 0.45)))
     return b.build(), cam.perspective(w, 1.0, (500, 320, 90), (0, 280, 0), 1, 45.0, s, d)
 
 

@@ -295,7 +295,7 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     if scene.sphere_chunks is not None:
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-        if pk.use_pallas():
+        if pk.use_pallas() and pk.fits_pallas(scene.sphere_chunks):
             t_s, sph_payload = pk.sphere_closest_fused(
                 org, dirs, time, scene.sphere_chunks, tmin, tmax)
         else:
@@ -310,7 +310,7 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         pure XLA chunk scan elsewhere."""
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-        if pk.use_pallas():
+        if pk.use_pallas() and pk.fits_pallas(chs):
             return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag, tmax)
         return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag,
                                       tmax=tmax)

@@ -31,6 +31,9 @@ from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 
 BIG = 1e30
 TILE_R = 1024
+# Pallas grid cap: beyond this many chunks the (ray tiles x chunks) grid has
+# been observed to fault the TPU worker; larger scenes take the XLA scan
+MAX_PALLAS_CHUNKS = 512
 
 # prim-constant pack rows (built host/trace-side from PlanarChunks)
 ROW_UNORM = 0     # 0:3   plane unit normal
@@ -182,6 +185,13 @@ def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
 
 
 # ---------------------------------------------------------------- autodiff
+def fits_pallas(chunks) -> bool:
+    """True when the chunk count is within the kernel's validated grid size."""
+    k = (chunks.rad.shape[0] if hasattr(chunks, "rad")
+         else chunks.corner.shape[0])
+    return k <= MAX_PALLAS_CHUNKS
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def planar_closest_fused(org, dirs, chunks, tmin, triangle, tmax=BIG):
     """Pallas forward + XLA-scan backward: differentiable drop-in for

@@ -124,3 +124,23 @@ def test_moving_sphere_chunked(dense_override):
     np.testing.assert_array_equal(v, np.asarray(h2.valid))
     np.testing.assert_allclose(np.asarray(h1.t)[v], np.asarray(h2.t)[v],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_tmax_respected_on_chunked_path(dense_override):
+    """A finite tmax must clip hits beyond it on the chunk-scan path (it was
+    once silently ignored beyond the dense threshold)."""
+    rng = np.random.default_rng(9)
+    b = SceneBuilder()
+    m = b.lambertian((1, 1, 1))
+    for i in range(600):
+        b.sphere((0, 0, -10.0 - i * 0.01), 0.2, m)
+    s = b.build()
+    assert s.sphere_chunks is not None
+    org = jnp.zeros((4, 3))
+    dirs = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (4, 1))
+    t = jnp.zeros((4,))
+    uv = jnp.full((4, 1), 0.5)
+    h_hit = isect.intersect_brute(s, org, dirs, t, 1e-3, uv, tmax=jnp.inf)
+    assert bool(h_hit.valid.all())
+    h_clip = isect.intersect_brute(s, org, dirs, t, 1e-3, uv, tmax=5.0)
+    assert not bool(h_clip.valid.any())

@@ -74,7 +74,10 @@ def test_procedural_sky_shape_and_range():
 
 def _run_cli(args, cwd):
     env = dict(os.environ)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    # PYTHONPATH without the axon sitecustomize dir: its register() forces
+    # the TPU backend regardless of JAX_PLATFORMS, and the subprocess should
+    # render on CPU
+    env["PYTHONPATH"] = "/root/repo"
     env["JAX_PLATFORMS"] = "cpu"
     return subprocess.run(
         [sys.executable, "/root/repo/render.py", *args],
