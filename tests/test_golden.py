@@ -39,7 +39,7 @@ GOLDEN_MEANS = {
     "skybox_and_motion_blur": 0.627538,
     "sphereflake": 0.588514,
     # sponza: procedural colonnade substitute (Sponza.bin absent)
-    "sponza": 0.404067,
+    "sponza": 0.399436,
     "test_perlin_noise": 0.491395,
     "test_value_noise": 0.505920,
     "test_voronoi_noise": 0.469763,
