@@ -8,9 +8,10 @@ the winning primitive of each type. Constant-density volumes
 (src/volumne.h:18-46) participate as an RNG-consuming sampling step clipped
 by the closest surface hit.
 
-This brute-force path is the correctness oracle and is optimal for small
-scenes; large triangle/sphere scenes use the BVH path (ops/bvh.py) behind the
-same ``Hit`` interface.
+This dense path is the correctness oracle and optimal for small scenes;
+tables above the chunking threshold route through the BVH-ordered chunk scan
+(ops/chunked.py) or the fused Pallas kernels (ops/pallas_intersect.py)
+behind the same ``Hit`` interface — selected statically per scene here.
 """
 
 from __future__ import annotations
