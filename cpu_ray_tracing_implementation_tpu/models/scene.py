@@ -27,8 +27,10 @@ import numpy as np
 import jax.numpy as jnp
 from flax import struct
 
+from cpu_ray_tracing_implementation_tpu.ops import bvh as bvh_mod
 from cpu_ray_tracing_implementation_tpu.ops import chunked as chunked_mod
 from cpu_ray_tracing_implementation_tpu.ops import noise as noise_ops
+from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk_mod
 from cpu_ray_tracing_implementation_tpu.utils import accel
 
 # material type codes (src/material.h concrete classes)
@@ -145,6 +147,12 @@ class Scene:
     sphere_chunks: chunked_mod.SphereChunks | None = None
     quad_chunks: chunked_mod.PlanarChunks | None = None
     tri_chunks: chunked_mod.PlanarChunks | None = None
+    # threaded-BVH traversal trees (ops/bvh.py) for the same tables; None
+    # when the native builder is unavailable (traversal then falls back to
+    # the chunk scan)
+    sphere_tree: bvh_mod.BVHTree | None = None
+    quad_tree: bvh_mod.BVHTree | None = None
+    tri_tree: bvh_mod.BVHTree | None = None
 
     @property
     def n_volumes(self) -> int:
@@ -398,11 +406,15 @@ class SceneBuilder:
         # -------- chunk-scan acceleration for large tables (ops/chunked.py)
         C = chunked_mod.CHUNK
 
+        MAX_LEAF = 8
+
         def chunkify(cols, lo, hi, mats):
-            """BVH-order, pad to a CHUNK multiple, reshape chunk-major."""
+            """BVH-order, pad to a CHUNK multiple, reshape chunk-major.
+            Also returns the builder's node array (None under the numpy
+            Morton fallback) for the device-side traversal tree."""
             n = len(lo)
             centroid = (lo + hi) / 2.0
-            order, _nodes = accel.build_bvh(centroid, lo, hi, max_leaf=8)
+            order, nodes = accel.build_bvh(centroid, lo, hi, max_leaf=MAX_LEAF)
             k = (n + C - 1) // C
             pad_n = k * C - n
             out = []
@@ -417,20 +429,24 @@ class SceneBuilder:
             clo, chi = accel.chunk_bounds(lo[order], hi[order], C)
             return (out, jnp.asarray(m.reshape(k, C)),
                     jnp.asarray(act.reshape(k, C)),
-                    jnp.asarray(clo), jnp.asarray(chi))
+                    jnp.asarray(clo), jnp.asarray(chi), nodes)
 
-        sphere_chunks = None
+        sphere_chunks = sphere_tree = None
         if len(self._sph) > chunked_mod.DENSE_MAX:
             c0 = np.stack([np.asarray(r[0], f32) for r in self._sph])
             c1 = np.stack([np.asarray(r[1], f32) for r in self._sph])
             rad = np.array([r[2] for r in self._sph], f32)
             lo = np.minimum(c0, c1) - rad[:, None]
             hi = np.maximum(c0, c1) + rad[:, None]
-            (cols, m, act, clo, chi) = chunkify(
+            (cols, m, act, clo, chi, nodes) = chunkify(
                 [c0, c1, rad], lo, hi, [r[3] for r in self._sph])
             sphere_chunks = chunked_mod.SphereChunks(
                 c0=cols[0], c1=cols[1], rad=cols[2], mat=m, active=act,
                 lo=clo, hi=chi)
+            if nodes is not None:
+                sphere_tree = bvh_mod.build_tree(
+                    nodes, bvh_mod.flatten_chunk_pack(
+                        pk_mod.pack_sphere_constants(sphere_chunks)), MAX_LEAF)
 
         def planar_chunks(rows):
             corner = np.stack([np.asarray(r[0], f32) for r in rows])
@@ -439,20 +455,27 @@ class SceneBuilder:
             pts = np.stack([corner, corner + eu, corner + ev, corner + eu + ev])
             lo = pts.min(axis=0) - 1e-4   # pad degenerate axes (src/aabb.h:81-86)
             hi = pts.max(axis=0) + 1e-4
-            (cols, m, act, clo, chi) = chunkify(
+            (cols, m, act, clo, chi, nodes) = chunkify(
                 [corner, eu, ev], lo, hi, [r[3] for r in rows])
-            return chunked_mod.PlanarChunks(
+            chunks = chunked_mod.PlanarChunks(
                 corner=cols[0], eu=cols[1], ev=cols[2], mat=m, active=act,
                 lo=clo, hi=chi)
+            tree = None
+            if nodes is not None:
+                tree = bvh_mod.build_tree(
+                    nodes, bvh_mod.flatten_chunk_pack(
+                        pk_mod.pack_prim_constants(chunks)), MAX_LEAF)
+            return chunks, tree
 
-        quad_chunks = (planar_chunks(self._quads)
-                       if len(self._quads) > chunked_mod.DENSE_MAX else None)
-        tri_chunks = None
+        quad_chunks = quad_tree = None
+        if len(self._quads) > chunked_mod.DENSE_MAX:
+            quad_chunks, quad_tree = planar_chunks(self._quads)
+        tri_chunks = tri_tree = None
         if len(self._tris) > chunked_mod.DENSE_MAX:
             tri_rows = [(r[0], np.asarray(r[1], f32) - np.asarray(r[0], f32),
                          np.asarray(r[2], f32) - np.asarray(r[0], f32), r[3])
                         for r in self._tris]
-            tri_chunks = planar_chunks(tri_rows)
+            tri_chunks, tri_tree = planar_chunks(tri_rows)
 
         vol_rows = self._vols
         n_v = max(1, len(vol_rows))
@@ -516,4 +539,7 @@ class SceneBuilder:
             sphere_chunks=sphere_chunks,
             quad_chunks=quad_chunks,
             tri_chunks=tri_chunks,
+            sphere_tree=sphere_tree,
+            quad_tree=quad_tree,
+            tri_tree=tri_tree,
         )

@@ -294,9 +294,14 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     sph_payload = quad_payload = tri_payload = None
     i_s = i_q = i_t = zero_i
     if scene.sphere_chunks is not None:
+        from cpu_ray_tracing_implementation_tpu.ops import bvh as bvh_mod
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-        if pk.use_pallas() and pk.fits_pallas(scene.sphere_chunks):
+        if bvh_mod.use_bvh(scene.sphere_tree):
+            t_s, sph_payload = bvh_mod.sphere_closest_accel(
+                org, dirs, time, scene.sphere_chunks, scene.sphere_tree,
+                tmin, tmax)
+        elif pk.use_pallas() and pk.fits_pallas(scene.sphere_chunks):
             t_s, sph_payload = pk.sphere_closest_fused(
                 org, dirs, time, scene.sphere_chunks, tmin, tmax)
         else:
@@ -306,24 +311,30 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:
         t_s = inf_t
-    def planar_path(chs, tri_flag):
-        """Fused Pallas kernel on TPU (scan backward via custom VJP);
-        pure XLA chunk scan elsewhere."""
+    def planar_path(chs, tree, tri_flag):
+        """Per-ray BVH traversal when a tree exists (ops/bvh.py); else the
+        fused Pallas kernel on TPU; else the XLA chunk scan. All three share
+        the contract and the chunk-scan backward."""
+        from cpu_ray_tracing_implementation_tpu.ops import bvh as bvh_mod
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
+        if bvh_mod.use_bvh(tree):
+            return bvh_mod.planar_closest_accel(org, dirs, chs, tree, tmin,
+                                                tri_flag, tmax)
         if pk.use_pallas() and pk.fits_pallas(chs):
             return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag, tmax)
         return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag,
                                       tmax=tmax)
 
     if scene.quad_chunks is not None:
-        t_q, quad_payload = planar_path(scene.quad_chunks, False)
+        t_q, quad_payload = planar_path(scene.quad_chunks, scene.quad_tree,
+                                        False)
     elif n_quad:
         t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
     else:
         t_q = inf_t
     if scene.tri_chunks is not None:
-        t_t, tri_payload = planar_path(scene.tri_chunks, True)
+        t_t, tri_payload = planar_path(scene.tri_chunks, scene.tri_tree, True)
     elif n_tri:
         t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
     else:

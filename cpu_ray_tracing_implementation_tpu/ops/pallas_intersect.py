@@ -394,10 +394,13 @@ sphere_closest_fused.defvjp(_sfused_fwd, _sfused_bwd)
 
 
 def use_pallas() -> bool:
-    """Pallas path is on for TPU backends unless CRT_NO_PALLAS=1."""
+    """Pallas path is on for TPU backends unless CRT_NO_PALLAS=1 (or the
+    accel override CRT_ACCEL=chunked forces the pure-XLA scan)."""
     import os
 
     if os.environ.get("CRT_NO_PALLAS") == "1":
+        return False
+    if os.environ.get("CRT_ACCEL") == "chunked":
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -162,8 +162,13 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
 
             params = {"color0": scene.textures.color0, "color1": scene.textures.color1}
             loss, grads = jax.value_and_grad(local_loss)(params)
-            loss = jax.lax.psum(loss, AXIS) / n_pix
-            grads = jax.lax.psum(grads, AXIS)
+            # normalize by n_pix * 3 to match the single-chip convention
+            # (diff.image_loss uses jnp.mean over pixels AND channels), so a
+            # sharded training step is interchangeable with a single-chip one
+            # at the same learning rate
+            norm = 1.0 / (n_pix * 3)
+            loss = jax.lax.psum(loss, AXIS) * norm
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, AXIS) * norm, grads)
             return loss, grads
 
         packed = jnp.concatenate([target_flat, valid[:, None]], axis=-1)

@@ -103,6 +103,40 @@ def build_bvh(centroids: np.ndarray, lo: np.ndarray, hi: np.ndarray,
     return order, nodes[:count].copy()
 
 
+def threaded_links(nodes: np.ndarray):
+    """Hit/miss links for stackless ("threaded") BVH traversal.
+
+    The builder emits nodes in DFS order (left child = i+1, right child =
+    nodes[i,6] for internal nodes). The *skip* link of a node is the node
+    visited after its whole subtree is done: skip(root) = sentinel n,
+    skip(left) = right sibling, skip(right) = skip(parent). Traversal then
+    needs no stack at all — the per-ray state is one int:
+
+        next = aabb_hit ? hit_link[node] : miss_link[node]
+
+    with hit_link = node+1 (descend) for internal nodes and skip for leaves
+    (reference counterpart: the recursive descent in src/bvh_node.h:49-58).
+
+    Returns (hit_link [n] int32, miss_link [n] int32, leaf_first [n] int32,
+    leaf_count [n] int32); sentinel = n terminates.
+    """
+    n = len(nodes)
+    skip = np.full(n, n, np.int32)
+    stack = [(0, n)]
+    while stack:
+        i, sk = stack.pop()
+        skip[i] = sk
+        if nodes[i, 7] == 0:  # internal
+            right = int(nodes[i, 6])
+            stack.append((i + 1, right))
+            stack.append((right, sk))
+    is_leaf = nodes[:, 7] > 0
+    hit_link = np.where(is_leaf, skip, np.arange(n, dtype=np.int32) + 1)
+    leaf_first = np.where(is_leaf, nodes[:, 6], 0).astype(np.int32)
+    leaf_count = nodes[:, 7].astype(np.int32)
+    return hit_link.astype(np.int32), skip, leaf_first, leaf_count
+
+
 def chunk_bounds(lo: np.ndarray, hi: np.ndarray, chunk: int):
     """Per-chunk AABBs of an already-ordered primitive array, padded to a
     multiple of ``chunk``. Returns (chunk_lo [K,3], chunk_hi [K,3]); padding

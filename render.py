@@ -58,15 +58,21 @@ def main(argv=None) -> int:
 
     if args.config:
         # the config system the reference README promises but never ships
-        # (SURVEY.md appendix item 9): JSON defaults, CLI flags win
+        # (SURVEY.md appendix item 9): JSON defaults, CLI flags win.
+        # Re-parse with every default suppressed so the namespace contains
+        # exactly the flags the user typed — a config value fills any key the
+        # CLI left unset, including keys with non-None defaults (chunk_spp,
+        # seed).
         import json as _json
 
         with open(args.config) as f:
             cfg = _json.load(f)
-        parser = build_parser()
+        probe = build_parser()
+        for action in probe._actions:
+            action.default = argparse.SUPPRESS
+        provided = vars(probe.parse_args(argv))
         for k, v in cfg.items():
-            if k in CONFIG_KEYS and getattr(args, k, None) in (None, False) \
-                    and parser.get_default(k) == getattr(args, k):
+            if k in CONFIG_KEYS and k not in provided:
                 setattr(args, k, v)
 
     if args.save_config:

@@ -60,3 +60,26 @@ def test_grad_step_runs_and_reduces(mesh, tiny_cornell):
     g = np.asarray(grads["color0"])
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_grad_step_matches_single_chip(mesh, tiny_cornell):
+    """Sharded loss/grads use the same mean-over-pixels-and-channels
+    convention as diff.image_loss, so training steps are interchangeable
+    at the same learning rate."""
+    from cpu_ray_tracing_implementation_tpu.models import diff
+
+    scene, cam = tiny_cornell
+    target = jnp.zeros((cam.height, cam.width, 3))
+    key = jax.random.key(2)
+    loss_sh, grads_sh = pm.render_loss_and_grad_sharded(
+        scene, cam, key, target, mesh, spp=2)
+    loss_1 = diff.image_loss(scene, cam, key, target, spp=2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+
+    def f(c0):
+        s = scene.replace(textures=scene.textures.replace(color0=c0))
+        return diff.image_loss(s, cam, key, target, spp=2)
+
+    g1 = np.asarray(jax.grad(f)(scene.textures.color0))
+    np.testing.assert_allclose(np.asarray(grads_sh["color0"]), g1,
+                               rtol=1e-4, atol=1e-7)
