@@ -29,6 +29,39 @@ from cpu_ray_tracing_implementation_tpu.models import catalog, diff, integrator
 
 REF_CORNELL_RAYS_PER_S = 14_400_000 / 34.8  # reference C++ on 4-core host CPU
 
+# ---- speed-of-light model for one TPU v5e (v5 lite) chip ----
+# Published chip specs: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. This workload's
+# geometry matmuls run precision=highest (f32 via multi-pass bf16, ~1/6 of
+# bf16 peak) and most of its FLOPs are elementwise VPU work (~7 TFLOP/s
+# f32). The honest compute ceiling for this op mix is therefore the VPU
+# rate; MFU is also reported against the bf16 MXU peak as the chip's
+# absolute speed-of-light. Details + derivation: BASELINE.md "Roofline".
+PEAK_HBM_BYTES_S = 819e9
+PEAK_VPU_FLOPS_S = 7e12
+PEAK_CHIP_FLOPS_S = 197e12
+
+
+def _roofline(fn, args, dt):
+    """(dict of roofline fields) for a jitted callable timed at ``dt``."""
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0))
+        byts = float(cost.get("bytes accessed", 0.0))
+    except Exception:  # noqa: BLE001 — cost analysis is best-effort
+        return {}
+    if not flops:
+        return {}
+    bound_s = max(flops / PEAK_VPU_FLOPS_S, byts / PEAK_HBM_BYTES_S)
+    return {
+        "xla_flops": flops,
+        "xla_bytes": byts,
+        "achieved_tflops": round(flops / dt / 1e12, 2),
+        "mfu_pct": round(100.0 * flops / dt / PEAK_CHIP_FLOPS_S, 2),
+        "roofline_frac": round(bound_s / dt, 3),
+        "bound": ("compute" if flops / PEAK_VPU_FLOPS_S
+                  > byts / PEAK_HBM_BYTES_S else "memory"),
+    }
+
 
 def _sync(*arrays):
     for a in arrays:
@@ -61,11 +94,17 @@ def main():
     fwd_matched = 600 * 600 * 40 / (time.time() - t0)
     assert np.isfinite(a).all(), "matched-workload render produced non-finite pixels"
 
+    # roofline accounting of the headline fwd+bwd step (BASELINE.md §Roofline)
+    roof = _roofline(
+        lambda s, c, k, t: diff.loss_and_grads(s, c, k, t, spp=256),
+        (scene, cam, jax.random.key(1), target), dt)
+
     print(json.dumps({
         "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",
         "value": round(headline),
         "unit": "rays/s",
         "vs_baseline": round(fwd_matched / REF_CORNELL_RAYS_PER_S, 2),
+        **roof,
     }))
 
 

@@ -428,6 +428,26 @@ def sponza(width=None, spp=None, max_depth=None, substitute_tris=260_000):
     return b.build(), cam.perspective(w, 1.0, (500, 320, 90), (0, 280, 0), 1, 45.0, s, d)
 
 
+# -------------------------------------------------------- extension scene
+def cornell_box_with_sphere_light(width=None, spp=None, max_depth=None):
+    """Beyond-parity extension: the Cornell box lit by an emissive SPHERE
+    sampled with correct solid-angle cone sampling (ops/sampling.cone_dir).
+    The reference declares sphere light sampling but its pdf_value/random
+    are dimensionally wrong placeholders (src/sphere.h:76-81) and no scene
+    uses them; this scene exercises the working implementation."""
+    w, s, d = _cam_args(width, spp, max_depth, 600, 40, 4)
+    b = SceneBuilder()
+    red = b.lambertian((0.65, 0.05, 0.05))
+    white = b.lambertian((0.73, 0.73, 0.73))
+    green = b.lambertian((0.12, 0.45, 0.15))
+    _cornell_walls(b, red, white, green, top_variant=0)
+    b.box((0, 0, 0), (165, 330, 165), white, translate=(100, 0, 200))
+    b.box((0, 0, 0), (165, 165, 165), white, translate=(50, 0, 100))
+    light_s = b.sphere((278, 500, 279), 54.0, b.diffuse_light((15, 15, 15)))
+    b.sphere_light(light_s)
+    return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40.0, s, d)
+
+
 SCENES = {
     "three_material_ball": three_material_ball,
     "three_material_ball_with_defocus_blur": three_material_ball_with_defocus_blur,
@@ -451,4 +471,6 @@ SCENES = {
     "test_value_noise": test_value_noise,
     "test_worley_noise": test_worley_noise,
     "test_voronoi_noise": test_voronoi_noise,
+    # extension beyond the reference catalog (see its docstring)
+    "cornell_box_with_sphere_light": cornell_box_with_sphere_light,
 }

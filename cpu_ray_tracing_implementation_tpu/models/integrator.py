@@ -74,6 +74,10 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     nslot = mat_ops.NSLOT + n_vol
     if ray_ids is None:
         ray_ids = jnp.arange(n_rays, dtype=jnp.int32)
+    if scene.world_offset is not None:
+        # recentered scene (Scene.world_offset): trace in the shifted frame;
+        # position-based textures add the offset back (ops/textures.py)
+        org = org - scene.world_offset[None, :]
 
     def bounce(carry, inputs):
         org, dirs, time, throughput, radiance, alive = carry

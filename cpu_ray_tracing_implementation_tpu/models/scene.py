@@ -130,6 +130,10 @@ class Scene:
     noise: NoiseTables
     images: tuple          # tuple of [h,w,3] float arrays (static length)
     lights: jnp.ndarray    # [L] int32 quad indices used for MIS light sampling
+    # [Ls] int32 sphere indices sampled as lights via solid-angle cone
+    # sampling (the capability the reference stubs with broken math,
+    # src/sphere.h:76-81); None = no sphere lights
+    sphere_lights: jnp.ndarray | None = None
     background: int = struct.field(pytree_node=False, default=-1)  # texture id or -1
     # static feature flags: lets the integrator skip texture/volume branches
     # the scene never uses (shapes are static, so this is trace-time constant)
@@ -153,14 +157,24 @@ class Scene:
     sphere_tree: bvh_mod.BVHTree | None = None
     quad_tree: bvh_mod.BVHTree | None = None
     tri_tree: bvh_mod.BVHTree | None = None
+    # world-space offset folded out of the geometry at build time when the
+    # scene centroid is far from the origin: the MXU-expanded quadratics
+    # (|o|^2 - 2 o.c + |c|^2) cancel catastrophically in f32 beyond ~1e3
+    # (ops/intersect.py sphere_ts NOTE). Ray origins are shifted by -offset
+    # at render entry; position-based textures add it back. None = identity.
+    world_offset: jnp.ndarray | None = None
 
     @property
     def n_volumes(self) -> int:
         return int(self.volumes.kind.shape[0])
 
     @property
+    def n_sphere_lights(self) -> int:
+        return 0 if self.sphere_lights is None else int(self.sphere_lights.shape[0])
+
+    @property
     def has_lights(self) -> bool:
-        return int(self.lights.shape[0]) > 0
+        return int(self.lights.shape[0]) > 0 or self.n_sphere_lights > 0
 
 
 def _rot_matrix(axis: str, degrees: float) -> np.ndarray:
@@ -206,6 +220,7 @@ class SceneBuilder:
         self._texs = []   # dict rows
         self._imgs = []   # np arrays
         self._lights = []
+        self._sphere_lights = []
         self._background = -1
         self._seed = seed
         self._value_res = value_noise_resolution
@@ -358,12 +373,68 @@ class SceneBuilder:
         camera::render, src/camera.h:135, src/main.cc:224)."""
         self._lights.append(int(quad_id))
 
+    def sphere_light(self, sphere_id: int):
+        """Register a sphere as an MIS-sampled light (solid-angle cone
+        sampling, ops/sampling.cone_dir). The reference declares this hook
+        but its pdf/random are dimensionally wrong placeholders
+        (src/sphere.h:76-81); no reference scene uses them."""
+        self._sphere_lights.append(int(sphere_id))
+
     def set_background(self, tex_id: int):
         self._background = int(tex_id)
+
+    # beyond this centroid distance from the origin, geometry is recentered
+    # at build time (f32 catastrophic-cancellation guard; see Scene.world_offset)
+    RECENTER_THRESHOLD = 2000.0
+
+    def _maybe_recenter(self) -> np.ndarray | None:
+        """Fold a size-weighted scene centroid out of all geometry when it
+        is far from the origin. Returns the offset (world = stored +
+        offset) or None.
+
+        Weights are 1/feature-size: f32 cancellation in the expanded
+        quadratics scales with |center|^2 / size^2, so SMALL primitives are
+        the precision-critical ones — a huge ground sphere must not drag
+        the new origin away from the unit-scale features sitting on it.
+        """
+        pts, wts = [], []
+
+        def add(center, size):
+            pts.append(np.asarray(center, np.float64))
+            wts.append(1.0 / max(float(size), 1e-6))
+
+        for r in self._sph:
+            add(r[0], r[2])
+        for r in self._quads:
+            add(np.asarray(r[0], np.float64)
+                + 0.5 * (np.asarray(r[1], np.float64) + np.asarray(r[2], np.float64)),
+                max(np.linalg.norm(r[1]), np.linalg.norm(r[2])))
+        for r in self._tris:
+            v0 = np.asarray(r[0], np.float64)
+            add((v0 + np.asarray(r[1], np.float64) + np.asarray(r[2], np.float64)) / 3.0,
+                max(np.linalg.norm(np.asarray(r[1], np.float64) - v0),
+                    np.linalg.norm(np.asarray(r[2], np.float64) - v0)))
+        for r in self._vols:
+            add(r[1], np.linalg.norm(r[2]))
+        if not pts:
+            return None
+        w = np.asarray(wts)[:, None]
+        centroid = (np.stack(pts) * w).sum(axis=0) / w.sum()
+        if np.linalg.norm(centroid) <= self.RECENTER_THRESHOLD:
+            return None
+        off = centroid.astype(np.float32).astype(np.float64)
+        self._sph = [(r[0] - off, r[1] - off, r[2], r[3]) for r in self._sph]
+        self._quads = [(r[0] - off, r[1], r[2], r[3]) for r in self._quads]
+        self._tris = [(r[0] - off, r[1] - off, r[2] - off, r[3])
+                      for r in self._tris]
+        self._vols = [(r[0], r[1] - off, r[2], r[3], r[4], r[5])
+                      for r in self._vols]
+        return off
 
     # ---------------- build ----------------
     def build(self) -> Scene:
         f32 = np.float32
+        world_offset = self._maybe_recenter()
 
         def stack3(rows, idx):
             if rows:
@@ -532,6 +603,8 @@ class SceneBuilder:
             noise=noise,
             images=images,
             lights=jnp.asarray(np.array(self._lights, np.int32)),
+            sphere_lights=(jnp.asarray(np.array(self._sphere_lights, np.int32))
+                           if self._sphere_lights else None),
             background=self._background,
             tex_types_used=tex_types_used,
             mat_types_used=tuple(sorted({m["mtype"] for m in self._mats})),
@@ -542,4 +615,6 @@ class SceneBuilder:
             sphere_tree=sphere_tree,
             quad_tree=quad_tree,
             tri_tree=tri_tree,
+            world_offset=(jnp.asarray(world_offset, jnp.float32)
+                          if world_offset is not None else None),
         )

@@ -15,10 +15,17 @@ integer by threading the tree with hit/miss links (utils/accel.threaded_links):
 
 Per iteration each ray gathers one 64-byte node row and (masked) its leaf's
 <= max_leaf primitive rows — O(nodes visited) work per ray instead of the
-chunk scan's O(all chunks) (ops/chunked.py), which is the difference between
-0.2 M rays/s and tens of M rays/s on 258k-triangle scenes. All memory access
-is row gathers (embedding-lookup shaped, efficient on TPU); all math is
-elementwise VPU work on [R] lanes.
+chunk scan's O(all chunks) (ops/chunked.py).
+
+MEASURED REALITY (tools/bvh_stats.py, one v5e chip): XLA lowers the per-lane
+row gathers to a path costing ~18 ms per 160k-lane step, and the lockstep
+while_loop runs the MAX visit count over the batch (93) while the MEAN is
+6.9 — so this implementation is ~4x SLOWER than the plain chunk scan on
+real hardware. It is kept as the algorithmic oracle (CRT_ACCEL=bvh) and as
+documentation of why per-ray pointer chasing is the wrong shape for a
+vector machine; the production accelerator is the tile-packet culling in
+ops/packet.py, which gets the same interval-tightened pruning
+(src/bvh_node.h:53-57) out of dense, gather-free math.
 
 The closest-hit t tightens during traversal (near <= t_best slab bound) —
 the same pruning the reference gets from its right-subtree interval clamp.
@@ -267,20 +274,6 @@ def traversal_stats(org, dirs, tree: BVHTree, tmin, tmax=INF):
     it, _, nv, lv = jax.lax.while_loop(
         cond, body, (jnp.int32(0), jnp.zeros((R,), jnp.int32), z, z))
     return it, nv, lv
-
-
-def use_bvh(tree) -> bool:
-    """Traversal is the default accelerator when a tree exists.
-
-    ``CRT_ACCEL`` overrides for benchmarking: ``bvh`` (force), ``pallas`` /
-    ``chunked`` (disable traversal, fall through to the chunk paths).
-    """
-    import os
-
-    mode = os.environ.get("CRT_ACCEL", "auto")
-    if mode in ("pallas", "chunked"):
-        return False
-    return tree is not None
 
 
 # ------------------------------------------------------------- autodiff glue

@@ -40,6 +40,15 @@ class Hit:
     mat: jnp.ndarray     # [R] int32
 
 
+def accel_mode() -> str:
+    """Large-table accelerator choice (env CRT_ACCEL): ``auto`` (= packet,
+    the measured-fastest TPU path), ``packet``, ``bvh`` (per-ray traversal),
+    ``pallas`` (fused chunk kernel), ``chunked`` (pure XLA scan oracle)."""
+    import os
+
+    return os.environ.get("CRT_ACCEL", "auto")
+
+
 def _safe_div(num, den, fallback):
     ok = jnp.abs(den) > 1e-20
     den_safe = jnp.where(ok, den, 1.0)
@@ -295,9 +304,14 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     i_s = i_q = i_t = zero_i
     if scene.sphere_chunks is not None:
         from cpu_ray_tracing_implementation_tpu.ops import bvh as bvh_mod
+        from cpu_ray_tracing_implementation_tpu.ops import packet as pkt
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-        if bvh_mod.use_bvh(scene.sphere_tree):
+        mode = accel_mode()
+        if mode in ("auto", "packet"):
+            t_s, sph_payload = pkt.sphere_closest_accel(
+                org, dirs, time, scene.sphere_chunks, tmin, tmax)
+        elif mode == "bvh" and scene.sphere_tree is not None:
             t_s, sph_payload = bvh_mod.sphere_closest_accel(
                 org, dirs, time, scene.sphere_chunks, scene.sphere_tree,
                 tmin, tmax)
@@ -312,13 +326,20 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     else:
         t_s = inf_t
     def planar_path(chs, tree, tri_flag):
-        """Per-ray BVH traversal when a tree exists (ops/bvh.py); else the
-        fused Pallas kernel on TPU; else the XLA chunk scan. All three share
-        the contract and the chunk-scan backward."""
+        """Accelerator routing for a chunked planar table. Default (auto) is
+        tile-packet culling (ops/packet.py — measured fastest on TPU);
+        CRT_ACCEL selects bvh (per-ray traversal oracle), pallas (fused
+        kernel) or chunked (scan-everything oracle). All share the contract
+        and the chunk-scan backward."""
         from cpu_ray_tracing_implementation_tpu.ops import bvh as bvh_mod
+        from cpu_ray_tracing_implementation_tpu.ops import packet as pkt
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-        if bvh_mod.use_bvh(tree):
+        mode = accel_mode()
+        if mode in ("auto", "packet"):
+            return pkt.planar_closest_accel(org, dirs, chs, tmin, tri_flag,
+                                            tmax)
+        if mode == "bvh" and tree is not None:
             return bvh_mod.planar_closest_accel(org, dirs, chs, tree, tmin,
                                                 tri_flag, tmax)
         if pk.use_pallas() and pk.fits_pallas(chs):

@@ -63,29 +63,65 @@ def emitted(scene, hit) -> jnp.ndarray:
     return jnp.where(is_light[:, None], color, 0.0)
 
 
+def _sphere_cos_max(origin, center, rad):
+    """cos of the cone half-angle subtended by a sphere from ``origin``;
+    clamped to 0 when the origin is inside (full-hemisphere cone)."""
+    dc = center - origin
+    dist_sq = jnp.maximum(vm.dot(dc, dc), 1e-20)
+    return dc, jnp.sqrt(jnp.maximum(1.0 - rad * rad / dist_sq, 0.0))
+
+
 def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
-    """Unnormalized direction to a uniform point on a (uniformly chosen)
-    light quad (src/quad.h:75-78, src/hittable_list.h:39-50)."""
-    n_lights = scene.lights.shape[0]
-    lidx = jnp.minimum((u_pick * n_lights).astype(jnp.int32), n_lights - 1)
-    qid = tbl.take_rows(scene.lights, lidx)
-    n_q = scene.quads.corner.shape[0]
-    oh = tbl.onehot(qid, n_q) if n_q <= tbl.MAX_ONEHOT else None
-    corner = tbl.take_rows(scene.quads.corner, qid, oh)
-    eu = tbl.take_rows(scene.quads.eu, qid, oh)
-    ev = tbl.take_rows(scene.quads.ev, qid, oh)
-    p = corner + u1[:, None] * eu + u2[:, None] * ev
-    return p - origin
+    """Direction to a uniformly chosen light: a uniform point on a light
+    quad (src/quad.h:75-78, src/hittable_list.h:39-50), or a solid-angle
+    cone sample toward a light sphere (ops/sampling.cone_dir — the correct
+    math the reference stubs at src/sphere.h:81)."""
+    n_quad = scene.lights.shape[0]
+    n_sph = scene.n_sphere_lights
+    total = n_quad + n_sph
+    lidx = jnp.minimum((u_pick * total).astype(jnp.int32), total - 1)
+
+    quad_dir = None
+    if n_quad:
+        qid = tbl.take_rows(scene.lights, jnp.minimum(lidx, n_quad - 1))
+        n_q = scene.quads.corner.shape[0]
+        oh = tbl.onehot(qid, n_q) if n_q <= tbl.MAX_ONEHOT else None
+        corner = tbl.take_rows(scene.quads.corner, qid, oh)
+        eu = tbl.take_rows(scene.quads.eu, qid, oh)
+        ev = tbl.take_rows(scene.quads.ev, qid, oh)
+        p = corner + u1[:, None] * eu + u2[:, None] * ev
+        quad_dir = p - origin
+    if n_sph == 0:
+        return quad_dir
+
+    sid = tbl.take_rows(scene.sphere_lights,
+                        jnp.clip(lidx - n_quad, 0, n_sph - 1))
+    n_s = scene.spheres.c0.shape[0]
+    oh_s = tbl.onehot(sid, n_s) if n_s <= tbl.MAX_ONEHOT else None
+    center = tbl.take_rows(scene.spheres.c0, sid, oh_s)
+    rad = tbl.take_rows(scene.spheres.rad, sid, oh_s)
+    dc, cos_max = _sphere_cos_max(origin, center, rad)
+    sph_dir = smp.cone_dir(vm.normalize(dc), cos_max, u1, u2)
+    if n_quad == 0:
+        return sph_dir
+    return jnp.where((lidx >= n_quad)[:, None], sph_dir, quad_dir)
 
 
 def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """Solid-angle pdf of the light mixture: mean over light quads of
-    dist^2 / (|cos| * area) when the ray hits the quad (src/quad.h:66-73).
+    """Solid-angle pdf of the light mixture: mean over all lights of the
+    per-light pdf — quads: dist^2 / (|cos| * area) when the ray hits the
+    quad (src/quad.h:66-73); spheres: the cone pdf 1/(2 pi (1 - cos_max))
+    when the ray hits the sphere (pairing ops/sampling.cone_dir).
 
     Same scalar-triple-product MXU form as ops.intersect._planar_ts, with a
     finite sentinel for missed planes — an inf t here would leak NaN into
     the gradients of every ray (0 * inf in the backward of masked lanes).
     """
+    n_quad = int(scene.lights.shape[0])
+    n_sph = scene.n_sphere_lights
+    total = n_quad + n_sph
+    if n_quad == 0:
+        return _sphere_light_pdf_sum(scene, origin, direction) / total
     qid = scene.lights                                  # [L]
     corner = scene.quads.corner[qid]                    # [L,3]
     eu = scene.quads.eu[qid]
@@ -117,7 +153,31 @@ def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     dist_sq = t_safe * t_safe * vm.length_sq(direction)[:, None]
     cosine = jnp.abs(vm.dot(vm.normalize(direction)[:, None, :], unorm[None, :, :]))
     pdf = jnp.where(hit_ok, _safe_div(dist_sq, cosine * area[None, :], 0.0), 0.0)
-    return jnp.mean(pdf, axis=-1)
+    quad_sum = jnp.sum(pdf, axis=-1)
+    if n_sph:
+        quad_sum = quad_sum + _sphere_light_pdf_sum(scene, origin, direction)
+    return quad_sum / total
+
+
+def _sphere_light_pdf_sum(scene, origin: jnp.ndarray,
+                          direction: jnp.ndarray) -> jnp.ndarray:
+    """Sum over sphere lights of the cone pdf where the ray hits the sphere.
+
+    Uses the time-0 center (lights on moving spheres are sampled at their
+    rest pose). [R, Ls] intermediates — sphere-light counts are tiny.
+    """
+    sid = scene.sphere_lights                           # [Ls]
+    center = scene.spheres.c0[sid]                      # [Ls,3]
+    rad = scene.spheres.rad[sid]                        # [Ls]
+    unit_d = vm.normalize(direction)                    # [R,3]
+    dc = center[None, :, :] - origin[:, None, :]        # [R,Ls,3]
+    dist_sq = jnp.maximum(jnp.sum(dc * dc, axis=-1), 1e-20)
+    proj = jnp.sum(unit_d[:, None, :] * dc, axis=-1)    # [R,Ls]
+    disc = proj * proj - (dist_sq - (rad * rad)[None, :])
+    # hit iff the forward half-line meets the sphere (either root > eps)
+    hits = (disc > 0.0) & (proj + jnp.sqrt(jnp.maximum(disc, 0.0)) > 1e-3)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - (rad * rad)[None, :] / dist_sq, 0.0))
+    return jnp.sum(jnp.where(hits, smp.cone_pdf(cos_max), 0.0), axis=-1)
 
 
 def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):

@@ -75,6 +75,32 @@ def sphere_pdf(direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.full(direction.shape[:-1], INV_4PI, direction.dtype)
 
 
+def cone_dir(axis_unit: jnp.ndarray, cos_max: jnp.ndarray,
+             u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
+    """Uniform direction in the cone of half-angle acos(cos_max) about
+    ``axis_unit`` — the solid-angle sphere-light sampler.
+
+    This is the *correct* construction for sampling a sphere from outside
+    (Shirley, Rest of Your Life §12); the reference's ``sphere::random``
+    ignores the origin entirely (src/sphere.h:81, a documented placeholder
+    bug — SURVEY.md appendix item 3). We implement the right math and pair
+    it with ``cone_pdf`` so the estimator stays unbiased.
+    """
+    z = 1.0 + u2 * (cos_max - 1.0)           # cos(theta) in [cos_max, 1]
+    phi = 2.0 * PI * u1
+    s = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    local = jnp.stack([jnp.cos(phi) * s, z, jnp.sin(phi) * s], axis=-1)
+    x, y, zb = vm.onb_from_normal(axis_unit)
+    return vm.onb_transform(local, x, y, zb)
+
+
+def cone_pdf(cos_max: jnp.ndarray) -> jnp.ndarray:
+    """Solid-angle pdf of ``cone_dir``: 1 / (2 pi (1 - cos_max)), guarded
+    against the degenerate full-closure cone (cos_max -> 1)."""
+    solid = 2.0 * PI * jnp.maximum(1.0 - cos_max, 1e-8)
+    return 1.0 / solid
+
+
 def schlick_reflectance(cosine: jnp.ndarray, refraction_index: jnp.ndarray) -> jnp.ndarray:
     """Schlick's approximation (src/material.h:135-139)."""
     r0 = (1.0 - refraction_index) / (1.0 + refraction_index)

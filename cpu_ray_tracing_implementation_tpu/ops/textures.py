@@ -18,7 +18,14 @@ from cpu_ray_tracing_implementation_tpu.models import scene as scene_mod
 
 def eval_texture(scene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
                  p: jnp.ndarray) -> jnp.ndarray:
-    """color [R,3] for per-lane texture ids at (u, v, p)."""
+    """color [R,3] for per-lane texture ids at (u, v, p).
+
+    ``p`` arrives in the (possibly recentered) tracing frame; position-based
+    textures evaluate in true world space by adding Scene.world_offset back,
+    so recentering never changes a rendered image.
+    """
+    if scene.world_offset is not None:
+        p = p + scene.world_offset[None, :]
     texs = scene.textures
     n_t = texs.ttype.shape[0]
     oh = tbl.onehot(tex_id, n_t) if n_t <= tbl.MAX_ONEHOT else None

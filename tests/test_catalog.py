@@ -11,7 +11,11 @@ ALL_SCENES = sorted(catalog.SCENES)
 
 
 def test_catalog_has_all_22_scenes():
-    assert len(catalog.SCENES) == 22
+    """All 22 reference scenes (main.cc:634-657) plus catalog extensions."""
+    ref_scenes = 22
+    extensions = {"cornell_box_with_sphere_light"}
+    assert len(catalog.SCENES) == ref_scenes + len(extensions)
+    assert extensions <= set(catalog.SCENES)
 
 
 @pytest.mark.parametrize("name", ALL_SCENES)

@@ -88,7 +88,10 @@ def test_cli_list():
     r = _run_cli(["--list"], cwd="/root/repo")
     assert r.returncode == 0
     assert "cornell_box" in r.stdout
-    assert len(r.stdout.strip().splitlines()) == 22
+    # 22 reference scenes + catalog extensions (see catalog.SCENES)
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+
+    assert len(r.stdout.strip().splitlines()) == len(catalog.SCENES)
 
 
 def test_cli_render_and_config_roundtrip(tmp_path):

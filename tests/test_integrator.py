@@ -120,6 +120,58 @@ def test_mis_reduces_variance():
     assert v_mis < v_cos
 
 
+def test_mis_reduces_variance_sphere_light():
+    """Solid-angle cone sampling of a SPHERE light must also cut noise vs
+    pure cosine sampling — and stay unbiased. Exercises the sphere-light
+    capability the reference stubs (src/sphere.h:76-81)."""
+    def scene_with(light_on):
+        b = SceneBuilder()
+        white = b.lambertian((0.73, 0.73, 0.73))
+        b.quad((-5, 0, -5), (10, 0, 0), (0, 0, 10), white)
+        ls = b.sphere((0.0, 4.0, 0.0), 0.4, b.diffuse_light((50, 50, 50)))
+        if light_on:
+            b.sphere_light(ls)
+        return b.build()
+
+    def var_of(scene, seed=0, n=512):
+        dirs = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (n, 1))
+        org = jnp.tile(jnp.array([[0.0, 2.0, 0.0]]), (n, 1))
+        keys = jax.random.split(jax.random.key(seed), 8)
+        vals = [np.asarray(integrator.render_rays(scene, org, dirs, jnp.zeros((n,)),
+                                                  k, max_depth=3))[:, 0] for k in keys]
+        v = np.concatenate(vals)
+        return v.mean(), v.var()
+
+    m_mis, v_mis = var_of(scene_with(True))
+    m_cos, v_cos = var_of(scene_with(False))
+    assert abs(m_mis - m_cos) < 0.2 * max(m_cos, 1e-3) + 0.05
+    assert v_mis < v_cos
+
+
+def test_sphere_light_pdf_integrates_to_one():
+    """The sphere-light mixture pdf must integrate to 1 over the sphere of
+    directions (Monte-Carlo check) — the property the reference's
+    r^2*pi/d^2 placeholder (src/sphere.h:76-78) violates."""
+    from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
+    from cpu_ray_tracing_implementation_tpu.ops import sampling as smp
+
+    b = SceneBuilder()
+    ls = b.sphere((0.0, 3.0, 0.0), 1.0, b.diffuse_light((1, 1, 1)))
+    b.sphere_light(ls)
+    scene = b.build()
+
+    n = 200_000
+    k1, k2 = jax.random.split(jax.random.key(0))
+    u1 = jax.random.uniform(k1, (n,))
+    u2 = jax.random.uniform(k2, (n,))
+    dirs = smp.unit_sphere_dir(u1, u2)
+    org = jnp.zeros((n, 3))
+    pdf = np.asarray(mat_ops.light_pdf(scene, org, dirs))
+    # E_uniform[pdf] * 4pi == integral of pdf over the sphere == 1
+    integral = pdf.mean() * 4.0 * np.pi
+    np.testing.assert_allclose(integral, 1.0, rtol=0.05)
+
+
 def test_render_image_gradient_flows_to_albedo():
     """Radiance is differentiable w.r.t. the albedo table (north-star)."""
     scene, cam = catalog.white_sphere(width=8, spp=2, max_depth=3)
