@@ -428,7 +428,27 @@ def sponza(width=None, spp=None, max_depth=None, substitute_tris=260_000):
     return b.build(), cam.perspective(w, 1.0, (500, 320, 90), (0, 280, 0), 1, 45.0, s, d)
 
 
-# -------------------------------------------------------- extension scene
+# -------------------------------------------------------- extension scenes
+def textured_fox(width=None, spp=None, max_depth=None):
+    """Beyond-parity extension: the glTF Fox rendered WITH its per-vertex
+    normals, UVs and PNG texture — the data the reference's loader parses
+    and then discards (src/main.cc:353-393, gltf_loader.h NORMAL/TEXCOORD_0;
+    SURVEY.md appendix item 8). Smooth-shaded, texture-mapped lambertian."""
+    from cpu_ray_tracing_implementation_tpu.utils import gltf
+
+    w, s, d = _cam_args(width, spp, max_depth, 600, 100, 5)
+    b = SceneBuilder()
+    tris, normals, uvs = gltf.load_mesh(image_io.reference_asset("Fox/glTF/Fox.gltf"))
+    tex_img = image_io.load_image(image_io.reference_asset("Fox/glTF/Texture.png"))
+    fur = b.lambertian(b.picture(tex_img))
+    if len(tris):
+        b.triangles(tris, fur, normals=normals, uvs=uvs)
+    else:  # asset missing: keep the scene buildable (magenta-style fallback)
+        b.sphere((0, 40, 0), 40.0, fur)
+    b.set_background(_skybox(b))
+    return b.build(), cam.perspective(w, 1.0, (220, 220, 220), (0, 40, 0), 1, 45.0, s, d)
+
+
 def cornell_box_with_sphere_light(width=None, spp=None, max_depth=None):
     """Beyond-parity extension: the Cornell box lit by an emissive SPHERE
     sampled with correct solid-angle cone sampling (ops/sampling.cone_dir).
@@ -471,6 +491,7 @@ SCENES = {
     "test_value_noise": test_value_noise,
     "test_worley_noise": test_worley_noise,
     "test_voronoi_noise": test_voronoi_noise,
-    # extension beyond the reference catalog (see its docstring)
+    # extensions beyond the reference catalog (see their docstrings)
     "cornell_box_with_sphere_light": cornell_box_with_sphere_light,
+    "textured_fox": textured_fox,
 }

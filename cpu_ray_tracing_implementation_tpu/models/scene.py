@@ -83,6 +83,23 @@ class Triangles:
 
 
 @struct.dataclass
+class TriAttrs:
+    """Per-vertex triangle attributes for smooth shading / texturing —
+    beyond reference parity (it loads glTF NORMAL/TEXCOORD_0 then discards
+    them, src/main.cc:353-393; SURVEY.md appendix item 8). Rows are in the
+    SAME index space as the triangle intersector's winning-primitive id:
+    chunk order (utils/accel BVH order, padded) when the scene is chunked,
+    raw table order otherwise."""
+    n0: jnp.ndarray      # [T,3] unit vertex normals
+    n1: jnp.ndarray      # [T,3]
+    n2: jnp.ndarray      # [T,3]
+    uv0: jnp.ndarray     # [T,2]
+    uv1: jnp.ndarray     # [T,2]
+    uv2: jnp.ndarray     # [T,2]
+    smooth: jnp.ndarray  # [T] bool: interpolate normals (else flat)
+
+
+@struct.dataclass
 class Volumes:
     kind: jnp.ndarray    # [V] int32: VOL_BOX | VOL_SPHERE
     center: jnp.ndarray  # [V,3]
@@ -157,6 +174,9 @@ class Scene:
     sphere_tree: bvh_mod.BVHTree | None = None
     quad_tree: bvh_mod.BVHTree | None = None
     tri_tree: bvh_mod.BVHTree | None = None
+    # per-vertex triangle attributes (smooth normals + UVs); None when no
+    # mesh supplied them
+    tri_attrs: TriAttrs | None = None
     # world-space offset folded out of the geometry at build time when the
     # scene centroid is far from the origin: the MXU-expanded quadratics
     # (|o|^2 - 2 o.c + |c|^2) cancel catastrophically in f32 beyond ~1e3
@@ -215,6 +235,7 @@ class SceneBuilder:
         self._sph = []   # (c0, c1, rad, mat)
         self._quads = []  # (corner, eu, ev, mat)
         self._tris = []   # (v0, v1, v2, mat)
+        self._tri_attrs = []  # None or (normals [3,3], uvs [3,2]) per tri
         self._vols = []   # (kind, center, half, rot, density, mat)
         self._mats = []   # dict rows
         self._texs = []   # dict rows
@@ -334,14 +355,32 @@ class SceneBuilder:
         pts = _apply_instance(np.stack([np.asarray(p, np.float64) for p in (p0, p1, p2)]),
                               rotate, translate)
         self._tris.append((pts[0], pts[1], pts[2], int(mat)))
+        self._tri_attrs.append(None)
         return len(self._tris) - 1
 
-    def triangles(self, verts: np.ndarray, mat: int, rotate=None, translate=None):
-        """Bulk add [T,3,3] triangle vertices (glTF meshes, main.cc:345-498)."""
+    def triangles(self, verts: np.ndarray, mat: int, rotate=None, translate=None,
+                  normals: np.ndarray | None = None,
+                  uvs: np.ndarray | None = None):
+        """Bulk add [T,3,3] triangle vertices (glTF meshes, main.cc:345-498).
+
+        ``normals`` [T,3,3] / ``uvs`` [T,3,2]: optional per-vertex
+        attributes (glTF NORMAL/TEXCOORD_0) — interpolated at shading time
+        (barycentric), which the reference parses but never uses
+        (SURVEY.md appendix item 8)."""
         verts = _apply_instance(np.asarray(verts, np.float64).reshape(-1, 3),
                                 rotate, translate).reshape(-1, 3, 3)
-        for t in verts:
+        if normals is not None:
+            normals = _apply_instance(
+                np.asarray(normals, np.float64).reshape(-1, 3), rotate, None,
+                is_vector=True).reshape(-1, 3, 3)
+        if uvs is not None:
+            uvs = np.asarray(uvs, np.float64).reshape(-1, 3, 2)
+        for i, t in enumerate(verts):
             self._tris.append((t[0], t[1], t[2], int(mat)))
+            n_i = normals[i] if normals is not None else None
+            uv_i = uvs[i] if uvs is not None else None
+            self._tri_attrs.append(None if n_i is None and uv_i is None
+                                   else (n_i, uv_i))
 
     def volume_box(self, a, b, density: float, tex_or_color, rotate=None, translate=None):
         """Constant-density medium in a (possibly rotated) box boundary
@@ -500,7 +539,7 @@ class SceneBuilder:
             clo, chi = accel.chunk_bounds(lo[order], hi[order], C)
             return (out, jnp.asarray(m.reshape(k, C)),
                     jnp.asarray(act.reshape(k, C)),
-                    jnp.asarray(clo), jnp.asarray(chi), nodes)
+                    jnp.asarray(clo), jnp.asarray(chi), nodes, order)
 
         sphere_chunks = sphere_tree = None
         if len(self._sph) > chunked_mod.DENSE_MAX:
@@ -509,7 +548,7 @@ class SceneBuilder:
             rad = np.array([r[2] for r in self._sph], f32)
             lo = np.minimum(c0, c1) - rad[:, None]
             hi = np.maximum(c0, c1) + rad[:, None]
-            (cols, m, act, clo, chi, nodes) = chunkify(
+            (cols, m, act, clo, chi, nodes, _order) = chunkify(
                 [c0, c1, rad], lo, hi, [r[3] for r in self._sph])
             sphere_chunks = chunked_mod.SphereChunks(
                 c0=cols[0], c1=cols[1], rad=cols[2], mat=m, active=act,
@@ -526,7 +565,7 @@ class SceneBuilder:
             pts = np.stack([corner, corner + eu, corner + ev, corner + eu + ev])
             lo = pts.min(axis=0) - 1e-4   # pad degenerate axes (src/aabb.h:81-86)
             hi = pts.max(axis=0) + 1e-4
-            (cols, m, act, clo, chi, nodes) = chunkify(
+            (cols, m, act, clo, chi, nodes, order) = chunkify(
                 [corner, eu, ev], lo, hi, [r[3] for r in rows])
             chunks = chunked_mod.PlanarChunks(
                 corner=cols[0], eu=cols[1], ev=cols[2], mat=m, active=act,
@@ -536,17 +575,51 @@ class SceneBuilder:
                 tree = bvh_mod.build_tree(
                     nodes, bvh_mod.flatten_chunk_pack(
                         pk_mod.pack_prim_constants(chunks)), MAX_LEAF)
-            return chunks, tree
+            return chunks, tree, order
 
         quad_chunks = quad_tree = None
         if len(self._quads) > chunked_mod.DENSE_MAX:
-            quad_chunks, quad_tree = planar_chunks(self._quads)
+            quad_chunks, quad_tree, _ = planar_chunks(self._quads)
         tri_chunks = tri_tree = None
+        tri_order = None
         if len(self._tris) > chunked_mod.DENSE_MAX:
             tri_rows = [(r[0], np.asarray(r[1], f32) - np.asarray(r[0], f32),
                          np.asarray(r[2], f32) - np.asarray(r[0], f32), r[3])
                         for r in self._tris]
-            tri_chunks, tri_tree = planar_chunks(tri_rows)
+            tri_chunks, tri_tree, tri_order = planar_chunks(tri_rows)
+
+        # -------- per-vertex triangle attributes (smooth normals / UVs)
+        tri_attrs = None
+        if any(a is not None for a in self._tri_attrs):
+            n_raw = len(self._tris)
+            nrm = np.zeros((n_raw, 3, 3), f32)
+            uv = np.zeros((n_raw, 3, 2), f32)
+            smooth = np.zeros((n_raw,), bool)
+            for i, a in enumerate(self._tri_attrs):
+                if a is None:
+                    continue
+                n_i, uv_i = a
+                if n_i is not None:
+                    nrm[i] = np.asarray(n_i, f32)
+                    smooth[i] = True
+                if uv_i is not None:
+                    uv[i] = np.asarray(uv_i, f32)
+            # match the intersector's pid space: chunk order (padded) when
+            # chunked, raw table order (padded to the dense table) otherwise
+            if tri_order is not None:
+                nrm, uv, smooth = nrm[tri_order], uv[tri_order], smooth[tri_order]
+                n_rows = int(tri_chunks.mat.shape[0] * tri_chunks.mat.shape[1])
+            else:
+                n_rows = max(1, n_raw)
+            nrm = pad(nrm, n_rows)
+            uv = pad(uv, n_rows)
+            smooth = pad(smooth, n_rows)
+            tri_attrs = TriAttrs(
+                n0=jnp.asarray(nrm[:, 0]), n1=jnp.asarray(nrm[:, 1]),
+                n2=jnp.asarray(nrm[:, 2]),
+                uv0=jnp.asarray(uv[:, 0]), uv1=jnp.asarray(uv[:, 1]),
+                uv2=jnp.asarray(uv[:, 2]),
+                smooth=jnp.asarray(smooth))
 
         vol_rows = self._vols
         n_v = max(1, len(vol_rows))
@@ -615,6 +688,7 @@ class SceneBuilder:
             sphere_tree=sphere_tree,
             quad_tree=quad_tree,
             tri_tree=tri_tree,
+            tri_attrs=tri_attrs,
             world_offset=(jnp.asarray(world_offset, jnp.float32)
                           if world_offset is not None else None),
         )

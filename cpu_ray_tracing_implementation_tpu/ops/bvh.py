@@ -62,6 +62,11 @@ NODE_FIRST = 8    # leaf: first primitive row in prim_pack
 NODE_COUNT = 9    # leaf: primitive count (0 = internal)
 NODE_ROWS = 16
 
+# spare prim-pack row carrying the global (chunk-order) primitive index —
+# shared by the planar (pk.ROW_*) and sphere (pk.SROW_*) layouts, which both
+# leave rows 14-15 unused
+ROW_PID = 14
+
 
 @struct.dataclass
 class BVHTree:
@@ -91,6 +96,10 @@ def build_tree(nodes: np.ndarray, prim_pack: jnp.ndarray,
     pack[:, NODE_FIRST] = leaf_first
     pack[:, NODE_COUNT] = leaf_count
     nrows = prim_pack.shape[1]
+    # global primitive id (chunk-order index) in the shared spare row — the
+    # payload uses it to gather per-vertex attributes (smooth normals/UVs)
+    prim_pack = prim_pack.at[:, ROW_PID].set(
+        jnp.arange(prim_pack.shape[0], dtype=jnp.float32))
     padded = jnp.concatenate(
         [prim_pack, jnp.zeros((max_leaf, nrows), prim_pack.dtype)], axis=0)
     return BVHTree(node_pack=jnp.asarray(pack), prim_pack=padded,
@@ -160,7 +169,7 @@ def planar_closest_bvh(org, dirs, tree: BVHTree, tmin, triangle: bool,
     f32 = org.dtype
 
     def leaf_fn(row, lane_ok, t_best, payload):
-        n_b, u_b, v_b, m_b = payload
+        n_b, u_b, v_b, m_b, p_b = payload
         unorm = row[:, pk.ROW_UNORM:pk.ROW_UNORM + 3]
         evw = row[:, pk.ROW_EVW:pk.ROW_EVW + 3]
         weu = row[:, pk.ROW_WEU:pk.ROW_WEU + 3]
@@ -188,12 +197,16 @@ def planar_closest_bvh(org, dirs, tree: BVHTree, tmin, triangle: bool,
                 (jnp.where(better[:, None], unorm, n_b),
                  jnp.where(better, a, u_b),
                  jnp.where(better, b, v_b),
-                 jnp.where(better, mat, m_b)))
+                 jnp.where(better, mat, m_b),
+                 jnp.where(better, row[:, ROW_PID], p_b)))
 
     payload0 = (jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
-                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
-    t, (n, u, v, m) = _traverse(org, dirs, tree, tmin, tmax, leaf_fn, payload0)
-    return t, (n, u, v, jnp.round(m).astype(jnp.int32))
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32),
+                jnp.zeros((R,), f32))
+    t, (n, u, v, m, p) = _traverse(org, dirs, tree, tmin, tmax, leaf_fn,
+                                   payload0)
+    return t, (n, u, v, jnp.round(m).astype(jnp.int32),
+               jnp.round(p).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------- spheres

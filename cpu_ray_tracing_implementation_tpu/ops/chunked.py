@@ -107,10 +107,13 @@ def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool,
     """Closest hit over all chunks, within [tmin, tmax].
 
     Returns (t [R], payload) with payload = (unorm [R,3], u [R], v [R],
-    mat [R]) of the winning primitive (zeros when t == inf).
+    mat [R], pid [R]) of the winning primitive (zeros when t == inf);
+    ``pid`` is the chunk-order primitive index (chunk*CHUNK + lane), used
+    to gather per-vertex attributes (smooth normals / UVs).
     """
     R = org.shape[0]
     f32 = org.dtype
+    K, C = chunks.corner.shape[0], chunks.corner.shape[1]
     t_init = jnp.minimum(jnp.full((R,), INF, f32), tmax)
     init = (
         t_init,
@@ -118,14 +121,15 @@ def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool,
         jnp.zeros((R,), f32),    # u
         jnp.zeros((R,), f32),    # v
         jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), jnp.int32),  # pid
     )
 
     def step(carry, xs):
         t_best = carry[0]
-        corner, eu, ev, mat, active, lo, hi = xs
+        k, corner, eu, ev, mat, active, lo, hi = xs
 
         def body(carry):
-            t_best, n_b, u_b, v_b, m_b = carry
+            t_best, n_b, u_b, v_b, m_b, p_b = carry
             ts, a, b, unorm = _planar_chunk_ts(
                 org, dirs, corner, eu, ev, active, tmin, t_best, triangle)
             t_c = jnp.min(ts, axis=-1)
@@ -143,16 +147,17 @@ def planar_closest(org, dirs, chunks: PlanarChunks, tmin, triangle: bool,
                 jnp.where(better, u_c, u_b),
                 jnp.where(better, v_c, v_b),
                 jnp.where(better, m_c, m_b),
+                jnp.where(better, k * C + idx, p_b),
             )
 
         hit_possible = _chunk_cull(org, dirs, lo, hi, tmin, t_best)
         return jax.lax.cond(hit_possible, body, lambda c: c, carry), None
 
-    xs = (chunks.corner, chunks.eu, chunks.ev, chunks.mat, chunks.active,
-          chunks.lo, chunks.hi)
+    xs = (jnp.arange(K, dtype=jnp.int32), chunks.corner, chunks.eu,
+          chunks.ev, chunks.mat, chunks.active, chunks.lo, chunks.hi)
     out, _ = jax.lax.scan(step, init, xs)
-    t, unorm, u, v, mat = out
-    return jnp.where(t < t_init, t, INF), (unorm, u, v, mat)
+    t, unorm, u, v, mat, pid = out
+    return jnp.where(t < t_init, t, INF), (unorm, u, v, mat, pid)
 
 
 def _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active, tmin, tmax):

@@ -209,18 +209,56 @@ def tri_ts(org, dirs, tri, tmin, tmax):
                       tri.active, tmin, tmax, triangle=True)
 
 
-def tri_shading(org, dirs, tri, idx, t):
+def tri_shading(org, dirs, tri, idx, t, attrs=None):
+    """Shading attrs for the winning triangle. With ``attrs`` (TriAttrs,
+    beyond-parity): barycentric-interpolated smooth normals and UVs;
+    without: flat geometric normal, no UV (reference parity,
+    src/triangle.h:27-40)."""
     n_tbl = tri.v0.shape[0]
     oh = tbl.onehot(idx, n_tbl) if n_tbl <= tbl.MAX_ONEHOT else None
     v0 = tbl.take_rows(tri.v0, idx, oh)
     e1 = tbl.take_rows(tri.v1, idx, oh) - v0
     e2 = tbl.take_rows(tri.v2, idx, oh) - v0
-    outward = vm.normalize(vm.cross(e1, e2))            # flat geometric normal, no UV
+    outward = vm.normalize(vm.cross(e1, e2))            # flat geometric normal
     p = org + t[:, None] * dirs
     front = vm.dot(dirs, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     zero = jnp.zeros_like(t)
-    return p, normal, front, zero, zero, tbl.take_rows(tri.mat, idx, oh)
+    mat = tbl.take_rows(tri.mat, idx, oh)
+    if attrs is None:
+        return p, normal, front, zero, zero, mat
+    # barycentric (a, b) from the edge-coefficient construction (same math
+    # as _planar_ts): a = q.(ev x w), b = q.(w x eu), q = p - v0
+    n = vm.cross(e1, e2)
+    w = n / jnp.maximum(vm.dot(n, n), 1e-20)[:, None]
+    q = p - v0
+    a = vm.dot(q, vm.cross(e2, w))
+    b = vm.dot(q, vm.cross(w, e1))
+    normal, u, v = interpolate_tri_attrs(attrs, idx, a, b, normal)
+    return p, normal, front, u, v, mat
+
+
+def interpolate_tri_attrs(attrs, pid, a, b, geo_normal):
+    """(normal, u, v) from per-vertex attributes at barycentric (a, b).
+
+    Smooth normals are flipped into the hemisphere of the face-forwarded
+    geometric normal so shading stays consistent on back faces; triangles
+    without supplied normals keep the flat geometric one.
+    """
+    n_tbl = attrs.smooth.shape[0]
+    oh = tbl.onehot(pid, n_tbl) if n_tbl <= tbl.MAX_ONEHOT else None
+    w0 = (1.0 - a - b)[:, None]
+    ns = (w0 * tbl.take_rows(attrs.n0, pid, oh)
+          + a[:, None] * tbl.take_rows(attrs.n1, pid, oh)
+          + b[:, None] * tbl.take_rows(attrs.n2, pid, oh))
+    ns = vm.normalize(ns)
+    ns = jnp.where(vm.dot(ns, geo_normal)[:, None] < 0.0, -ns, ns)
+    smooth = tbl.take_rows(attrs.smooth, pid, oh)
+    normal = jnp.where(smooth[:, None], ns, geo_normal)
+    uv = (w0 * tbl.take_rows(attrs.uv0, pid, oh)
+          + a[:, None] * tbl.take_rows(attrs.uv1, pid, oh)
+          + b[:, None] * tbl.take_rows(attrs.uv2, pid, oh))
+    return normal, uv[:, 0], uv[:, 1]
 
 
 # ------------------------------------------------------------------ volumes
@@ -325,7 +363,7 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
     else:
         t_s = inf_t
-    def planar_path(chs, tree, tri_flag):
+    def planar_path(chs, tree, tri_flag, needs_pid=False):
         """Accelerator routing for a chunked planar table. Default (auto) is
         tile-packet culling (ops/packet.py — measured fastest on TPU);
         CRT_ACCEL selects bvh (per-ray traversal oracle), pallas (fused
@@ -342,7 +380,7 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         if mode == "bvh" and tree is not None:
             return bvh_mod.planar_closest_accel(org, dirs, chs, tree, tmin,
                                                 tri_flag, tmax)
-        if pk.use_pallas() and pk.fits_pallas(chs):
+        if pk.use_pallas() and pk.fits_pallas(chs) and not needs_pid:
             return pk.planar_closest_fused(org, dirs, chs, tmin, tri_flag, tmax)
         return chunked.planar_closest(org, dirs, chs, tmin, triangle=tri_flag,
                                       tmax=tmax)
@@ -355,7 +393,10 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
     else:
         t_q = inf_t
     if scene.tri_chunks is not None:
-        t_t, tri_payload = planar_path(scene.tri_chunks, scene.tri_tree, True)
+        # pallas kernel carries no primitive id, so per-vertex attribute
+        # scenes route to a pid-carrying path
+        t_t, tri_payload = planar_path(scene.tri_chunks, scene.tri_tree, True,
+                                       needs_pid=scene.tri_attrs is not None)
     elif n_tri:
         t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
     else:
@@ -392,15 +433,20 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         vv = jnp.where(cond, v_k, vv)
         mat = jnp.where(cond, m_k, mat)
 
-    def planar_attrs(payload, t_k, zero_uv=False):
+    def planar_attrs(payload, t_k, zero_uv=False, tri_attrs=None):
         """(p, normal, front, u, v, mat) from a chunked planar payload.
         ``zero_uv``: triangles carry no UV in the reference (src/triangle.h),
-        matching the dense tri_shading path."""
-        unorm, u_k, v_k, m_k = payload
+        matching the dense tri_shading path. ``tri_attrs``: per-vertex
+        attribute table (beyond parity) — interpolated at the payload's
+        barycentric (u, v) via the winning primitive id."""
+        unorm, u_k, v_k, m_k, pid_k = payload
         pk = org + jnp.where(jnp.isfinite(t_k), t_k, 0.0)[:, None] * dirs
         front_k = vm.dot(dirs, unorm) < 0.0
         normal_k = jnp.where(front_k[:, None], unorm, -unorm)
-        if zero_uv:
+        if tri_attrs is not None:
+            normal_k, u_k, v_k = interpolate_tri_attrs(
+                tri_attrs, pid_k, u_k, v_k, normal_k)
+        elif zero_uv:
             u_k = jnp.zeros_like(u_k)
             v_k = jnp.zeros_like(v_k)
         return pk, normal_k, front_k, u_k, v_k, m_k
@@ -422,10 +468,12 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         merge(which == 1, quad_shading(org, dirs, scene.quads, i_q,
                                        jnp.where(jnp.isfinite(t_q), t_q, 0.0)))
     if scene.tri_chunks is not None:
-        merge(which == 2, planar_attrs(tri_payload, t_t, zero_uv=True))
+        merge(which == 2, planar_attrs(tri_payload, t_t, zero_uv=True,
+                                       tri_attrs=scene.tri_attrs))
     elif n_tri:
         merge(which == 2, tri_shading(org, dirs, scene.tris, i_t,
-                                      jnp.where(jnp.isfinite(t_t), t_t, 0.0)))
+                                      jnp.where(jnp.isfinite(t_t), t_t, 0.0),
+                                      attrs=scene.tri_attrs))
     if n_vol:
         # volume record: arbitrary normal/front_face (src/volumne.h:42-43)
         m_v = tbl.take_rows(scene.volumes.mat, i_v)

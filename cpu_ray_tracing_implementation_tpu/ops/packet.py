@@ -95,7 +95,8 @@ def _planar_tile(org, dirs, chunks: ch.PlanarChunks, tmin, triangle, tmax):
     t_init = jnp.minimum(jnp.full((T,), INF, f32), tmax)
     init = (jnp.int32(0), t_init,
             jnp.zeros((T, 3), f32), jnp.zeros((T,), f32),
-            jnp.zeros((T,), f32), jnp.zeros((T,), jnp.int32))
+            jnp.zeros((T,), f32), jnp.zeros((T,), jnp.int32),
+            jnp.zeros((T,), jnp.int32))
 
     def cond(state):
         s, t_best = state[0], state[1]
@@ -103,7 +104,7 @@ def _planar_tile(org, dirs, chunks: ch.PlanarChunks, tmin, triangle, tmax):
             & jnp.isfinite(near_sorted[s])
 
     def body(state):
-        s, t_best, n_b, u_b, v_b, m_b = state
+        s, t_best, n_b, u_b, v_b, m_b, p_b = state
         k = order[s]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k, 1, axis=0)[0]
         corner, eu, ev = sl(chunks.corner), sl(chunks.eu), sl(chunks.ev)
@@ -123,10 +124,11 @@ def _planar_tile(org, dirs, chunks: ch.PlanarChunks, tmin, triangle, tmax):
                 jnp.where(better, jnp.sum(oh * b, axis=-1), v_b),
                 jnp.where(better,
                           jnp.round(mm(mat.astype(f32)[:, None]))[:, 0]
-                          .astype(jnp.int32), m_b))
+                          .astype(jnp.int32), m_b),
+                jnp.where(better, k * C + idx, p_b))
 
-    _, t, n, u, v, m = jax.lax.while_loop(cond, body, init)
-    return jnp.where(t < t_init, t, INF), n, u, v, m
+    _, t, n, u, v, m, p = jax.lax.while_loop(cond, body, init)
+    return jnp.where(t < t_init, t, INF), n, u, v, m, p
 
 
 def planar_closest_packet(org, dirs, chunks: ch.PlanarChunks, tmin,
@@ -142,9 +144,9 @@ def planar_closest_packet(org, dirs, chunks: ch.PlanarChunks, tmin,
         o, d = xs
         return _planar_tile(o, d, chunks, tmin, triangle, tmax)
 
-    t, n, u, v, m = jax.lax.map(per_tile, (org_t, dirs_t))
+    t, n, u, v, m, p = jax.lax.map(per_tile, (org_t, dirs_t))
     flat = lambda a: a.reshape((-1,) + a.shape[2:])[:R]
-    return flat(t), (flat(n), flat(u), flat(v), flat(m))
+    return flat(t), (flat(n), flat(u), flat(v), flat(m), flat(p))
 
 
 def _sphere_tile(org, dirs, time, chunks: ch.SphereChunks, tmin, tmax):

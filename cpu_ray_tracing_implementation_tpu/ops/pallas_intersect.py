@@ -180,8 +180,11 @@ def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
     out = out[:, :R]
     t = jnp.where(out[OUT_VALID] > 0.5, out[OUT_T], jnp.inf)
     unorm = out[OUT_NX:OUT_NZ + 1].T
+    # pid is not carried through the kernel (out rows are full at 8);
+    # scenes with per-vertex attributes route around the pallas path
     return t, (unorm, out[OUT_U], out[OUT_V],
-               jnp.round(out[OUT_MAT]).astype(jnp.int32))
+               jnp.round(out[OUT_MAT]).astype(jnp.int32),
+               jnp.zeros((R,), jnp.int32))
 
 
 # ---------------------------------------------------------------- autodiff

@@ -257,6 +257,37 @@ def load_asset(path: str) -> GltfAsset:
         return GltfAsset()
 
 
+def load_mesh(path: str):
+    """(triangles [T,3,3], normals [T,3,3] | None, uvs [T,3,2] | None) —
+    per-vertex attributes expanded per triangle corner.
+
+    Attributes are returned only when EVERY primitive carries them (mixed
+    meshes degrade to flat shading for all, keeping the tables uniform).
+    The reference parses NORMAL/TEXCOORD_0 and then discards them
+    (src/main.cc:353-393, SURVEY.md appendix item 8); here they feed
+    barycentric-interpolated shading (models/scene.TriAttrs).
+    """
+    asset = load_asset(path)
+    prims = [p for p in asset.primitives if len(p.indices)]
+    if not prims:
+        z = np.zeros((0, 3, 3), np.float32)
+        return z, None, None
+    tris = np.concatenate([p.triangles for p in prims], axis=0)
+    normals = uvs = None
+    if all(p.normals is not None for p in prims):
+        normals = np.concatenate(
+            [p.normals[p.indices.reshape(-1, 3)] for p in prims], axis=0)
+    if all(p.uvs is not None for p in prims):
+        uvs = np.concatenate(
+            [p.uvs[p.indices.reshape(-1, 3)] for p in prims], axis=0)
+        # glTF UV origin is top-left (v down); the picture texture samples
+        # with the reference's bottom-left v-flip (src/texture.h:68-74) —
+        # convert so glTF meshes read their texels correctly
+        uvs = uvs.copy()
+        uvs[..., 1] = 1.0 - uvs[..., 1]
+    return tris, normals, uvs
+
+
 def load_triangles(path: str) -> np.ndarray:
     """[T,3,3] world-space triangles of every mesh in the file (the shape the
     catalog scenes feed to SceneBuilder.triangles, src/main.cc:345-498)."""

@@ -17,8 +17,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("CRT_TPU_TESTS") == "1":
+    # chip mode: leave the default (TPU) backend so tests/test_pallas_tpu.py
+    # exercises the compiled Mosaic kernels (run that file alone — the rest
+    # of the suite is sized for the 8-device CPU mesh)
+    pass
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 # persistent compile cache: the suite is compile-dominated otherwise
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

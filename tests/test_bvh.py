@@ -97,9 +97,9 @@ def test_sphere_traversal_matches_chunked(sphere_scene):
 def test_tri_traversal_matches_chunked(tri_scene):
     rng = np.random.default_rng(2)
     org, dirs = _rand_rays(rng, 512)
-    t_c, (n_c, u_c, v_c, m_c) = chunked.planar_closest(
+    t_c, (n_c, u_c, v_c, m_c, _p) = chunked.planar_closest(
         org, dirs, tri_scene.tri_chunks, 1e-3, triangle=True)
-    t_b, (n_b, u_b, v_b, m_b) = bvh_mod.planar_closest_bvh(
+    t_b, (n_b, u_b, v_b, m_b, _pb) = bvh_mod.planar_closest_bvh(
         org, dirs, tri_scene.tri_tree, 1e-3, triangle=True)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_b = np.isfinite(np.asarray(t_b))

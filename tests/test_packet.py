@@ -66,9 +66,9 @@ def test_sphere_packet_matches_chunked(sphere_scene, tile):
 def test_tri_packet_matches_chunked(tri_scene):
     rng = np.random.default_rng(2)
     org, dirs = _rand_rays(rng, 512)
-    t_c, (n_c, u_c, v_c, m_c) = chunked.planar_closest(
+    t_c, (n_c, u_c, v_c, m_c, _p) = chunked.planar_closest(
         org, dirs, tri_scene.tri_chunks, 1e-3, triangle=True)
-    t_p, (n_p, u_p, v_p, m_p) = pkt.planar_closest_packet(
+    t_p, (n_p, u_p, v_p, m_p, _pp) = pkt.planar_closest_packet(
         org, dirs, tri_scene.tri_chunks, 1e-3, True, tile=128)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_p = np.isfinite(np.asarray(t_p))

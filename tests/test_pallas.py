@@ -46,9 +46,9 @@ def test_kernel_matches_scan(triangle):
     rng = np.random.default_rng(0)
     org, dirs = _rays(rng)
 
-    t_ref, (n_ref, u_ref, v_ref, m_ref) = chunked.planar_closest(
+    t_ref, (n_ref, u_ref, v_ref, m_ref, _pid) = chunked.planar_closest(
         org, dirs, chunks, 1e-3, triangle=triangle)
-    t_pk, (n_pk, u_pk, v_pk, m_pk) = pk.planar_closest_pallas(
+    t_pk, (n_pk, u_pk, v_pk, m_pk, _pid2) = pk.planar_closest_pallas(
         org, dirs, chunks, 1e-3, triangle=triangle, interpret=True)
 
     valid = np.isfinite(np.asarray(t_ref))

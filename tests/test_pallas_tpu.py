@@ -1,0 +1,80 @@
+"""Compiled-path accelerator tests that only run on a real TPU.
+
+The main suite runs Pallas kernels in interpret mode on CPU
+(tests/test_pallas.py) — but interpret mode is not Mosaic compilation:
+round 1's MAX_PALLAS_CHUNKS fault was only visible compiled on the chip.
+These tests are skipped on CPU and exercise the real compiled kernels when the
+suite runs in the chip environment (see .claude/skills/verify/SKILL.md):
+
+    CRT_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -q
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="compiled Pallas/Mosaic paths need a TPU chip",
+)
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    from cpu_ray_tracing_implementation_tpu.models import scene as scene_mod
+
+    rng = np.random.default_rng(7)
+    b = scene_mod.SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    for c in rng.normal(0, 3.0, (700, 3)):
+        b.sphere(c, rng.uniform(0.05, 0.3), m)
+    return b.build()
+
+
+def _rand_rays(rng, n):
+    org = jnp.asarray(rng.normal(0, 3.0, (n, 3)), jnp.float32)
+    d = rng.normal(0, 1, (n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return org, jnp.asarray(d, jnp.float32)
+
+
+def test_compiled_sphere_kernel_matches_scan(sphere_scene):
+    """The Mosaic-compiled sphere kernel (not interpret mode) must agree
+    with the XLA chunk scan."""
+    from cpu_ray_tracing_implementation_tpu.ops import chunked
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+    rng = np.random.default_rng(1)
+    org, dirs = _rand_rays(rng, 2048)
+    time = jnp.zeros((2048,), jnp.float32)
+    t_c, (_, _, m_c) = chunked.sphere_closest(
+        org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
+    t_p, (_, _, m_p) = pk.sphere_closest_pallas(
+        org, dirs, time, sphere_scene.sphere_chunks, 1e-3, interpret=False)
+    hit_c = np.isfinite(np.asarray(t_c))
+    hit_p = np.isfinite(np.asarray(t_p))
+    np.testing.assert_array_equal(hit_c, hit_p)
+    np.testing.assert_allclose(np.asarray(t_p)[hit_p], np.asarray(t_c)[hit_c],
+                               rtol=2e-3)
+    np.testing.assert_array_equal(np.asarray(m_p)[hit_p],
+                                  np.asarray(m_c)[hit_c])
+
+
+def test_compiled_packet_matches_scan(sphere_scene):
+    """The packet traversal compiled for TPU must agree with the scan."""
+    from cpu_ray_tracing_implementation_tpu.ops import chunked
+    from cpu_ray_tracing_implementation_tpu.ops import packet as pkt
+
+    rng = np.random.default_rng(2)
+    org, dirs = _rand_rays(rng, 2048)
+    time = jnp.zeros((2048,), jnp.float32)
+    t_c, _ = chunked.sphere_closest(org, dirs, time,
+                                    sphere_scene.sphere_chunks, 1e-3)
+    t_p, _ = pkt.sphere_closest_packet(org, dirs, time,
+                                       sphere_scene.sphere_chunks, 1e-3)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(t_c)),
+                                  np.isfinite(np.asarray(t_p)))
+    m = np.isfinite(np.asarray(t_c))
+    np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_c)[m],
+                               rtol=1e-6)
