@@ -59,6 +59,32 @@ def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
     return jax.vmap(lambda k: jax.random.uniform(k, (nslot,)))(keys)
 
 
+def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
+    """One path segment for every lane: intersect, add miss-background /
+    emission, scatter. The shared body of the classic scan integrator and
+    the path-regeneration wavefront (estimator: src/camera.h:193-241)."""
+    hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
+                                u[:, mat_ops.SLOT_VOLUME0:])
+
+    # miss -> background, lane terminates
+    bg = background_color(scene, dirs)
+    miss = alive & ~hit.valid
+    radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
+
+    # emission at the hit (front-face diffuse_light)
+    lit = alive & hit.valid
+    emit = mat_ops.emitted(scene, hit)
+    radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
+
+    # scatter
+    new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u)
+    alive = lit & continues
+    throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
+    org = jnp.where(alive[:, None], hit.p, org)
+    dirs = jnp.where(alive[:, None], new_dir, dirs)
+    return org, dirs, time, throughput, radiance, alive
+
+
 def render_rays(scene, org, dirs, time, key, max_depth: int,
                 ray_ids=None, uniforms=None) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
@@ -86,27 +112,8 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
             u = _per_ray_uniforms(jax.random.fold_in(key, bounce_idx), ray_ids, nslot)
         else:
             u = inputs
-
-        hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
-                                    u[:, mat_ops.SLOT_VOLUME0:])
-
-        # miss -> background, lane terminates
-        bg = background_color(scene, dirs)
-        miss = alive & ~hit.valid
-        radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
-
-        # emission at the hit (front-face diffuse_light)
-        lit = alive & hit.valid
-        emit = mat_ops.emitted(scene, hit)
-        radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
-
-        # scatter
-        new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u)
-        alive = lit & continues
-        throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
-        org = jnp.where(alive[:, None], hit.p, org)
-        dirs = jnp.where(alive[:, None], new_dir, dirs)
-        return (org, dirs, time, throughput, radiance, alive), None
+        return _shade_step(scene, org, dirs, time, throughput, radiance,
+                           alive, u), None
 
     init = (
         org, dirs, time,
@@ -155,6 +162,114 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int) -> jnp.ndarr
     accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
                             jnp.arange(spp))
     return accum
+
+
+def _lane_uniforms(keys, n: int) -> jnp.ndarray:
+    """[R, n] uniforms from per-lane keys."""
+    return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
+
+
+@functools.partial(jax.jit, static_argnames=("spp",))
+def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
+    """Path-regeneration wavefront render: radiance SUM [H*W, 3].
+
+    The classic integrator (render_image) runs every lane for max_depth
+    bounces even after it dies — at depth 8 most lanes are dead after 3-4
+    (SURVEY.md §8 known gap). Here a fixed pool of n_pix lanes is kept
+    full: the moment a path terminates, its lane flushes radiance into the
+    image and starts the next (pixel, sample) path, so total work is the
+    ACTUAL number of path segments (+ one tail drain).
+
+    RNG parity: every path reconstructs exactly the classic stream — key
+    fold by sample -> split into (camera, path) keys -> fold by bounce ->
+    fold by pixel (see render_sample/_per_ray_uniforms) — so each path's
+    radiance is bitwise the classic integrator's; only the image summation
+    order differs (allclose, not bitwise). Forward-only: the loop is a
+    ``lax.while_loop`` (not reverse-differentiable); gradient paths use the
+    classic scan.
+    """
+    n_pix = camera.width * camera.height
+    n_vol = scene.n_volumes
+    nslot = mat_ops.NSLOT + n_vol
+    max_depth = camera.max_depth
+    R = n_pix
+    total = n_pix * spp
+    f32 = jnp.float32
+
+    def path_keys(path_id):
+        """(k_cam, k_path) of a path's sample, per lane."""
+        sample = path_id // n_pix
+        ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample)
+        pair = jax.vmap(lambda k: jax.random.split(k))(ks)
+        return pair[:, 0], pair[:, 1]
+
+    def spawn(path_id):
+        """Camera rays + fresh state for the given path ids (id >= total ->
+        inactive lane)."""
+        pix = path_id % n_pix
+        k_cam, _ = path_keys(path_id)
+        cam_keys = jax.vmap(jax.random.fold_in)(k_cam, pix)
+        u_cam = _lane_uniforms(cam_keys, cam_mod.N_CAM_SLOTS)
+        org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
+        if scene.world_offset is not None:
+            org = org - scene.world_offset[None, :]
+        active = path_id < total
+        return org, dirs, time, active
+
+    def body(state):
+        (path_id, bounce, org, dirs, time, throughput, radiance, alive,
+         issued, image) = state
+        pix = path_id % n_pix
+        _, k_path = path_keys(path_id)
+        u_keys = jax.vmap(jax.random.fold_in)(
+            jax.vmap(jax.random.fold_in)(k_path, bounce), pix)
+        u = _lane_uniforms(u_keys, nslot)
+
+        org, dirs, time, throughput, radiance, alive2 = _shade_step(
+            scene, org, dirs, time, throughput, radiance, alive, u)
+        bounce = bounce + 1
+        alive2 = alive2 & (bounce < max_depth)
+
+        done = alive & ~alive2              # path just finished
+        image = image.at[pix].add(jnp.where(done[:, None], radiance, 0.0))
+
+        # refill finished lanes with the next unissued paths
+        rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+        new_id = issued + rank
+        take = done & (new_id < total)
+        path_id = jnp.where(take, new_id, jnp.where(done, total, path_id))
+        issued = issued + jnp.sum(done.astype(jnp.int32))
+
+        s_org, s_dirs, s_time, s_active = spawn(path_id)
+        fresh = done
+        org = jnp.where(fresh[:, None], s_org, org)
+        dirs = jnp.where(fresh[:, None], s_dirs, dirs)
+        time = jnp.where(fresh, s_time, time)
+        throughput = jnp.where(fresh[:, None], 1.0, throughput)
+        radiance = jnp.where(fresh[:, None], 0.0, radiance)
+        bounce = jnp.where(fresh, 0, bounce)
+        alive = jnp.where(fresh, s_active, alive2)
+        return (path_id, bounce, org, dirs, time, throughput, radiance,
+                alive, issued, image)
+
+    def cond(state):
+        alive = state[7]
+        return jnp.any(alive)
+
+    path0 = jnp.arange(R, dtype=jnp.int32)
+    org0, dirs0, time0, active0 = spawn(path0)
+    state = (path0, jnp.zeros((R,), jnp.int32), org0, dirs0, time0,
+             jnp.ones((R, 3), f32), jnp.zeros((R, 3), f32), active0,
+             jnp.int32(R), jnp.zeros((n_pix, 3), f32))
+    state = jax.lax.while_loop(cond, body, state)
+    return state[9]
+
+
+def render_image_wavefront(scene, camera, key, spp: int | None = None):
+    """Full image [H,W,3] through the path-regeneration wavefront."""
+    spp = camera.spp if spp is None else spp
+    accum = render_wavefront(scene, camera, key, spp)
+    return (accum / spp).reshape(camera.height, camera.width, 3)
 
 
 def render_image(scene, camera, key, spp: int | None = None) -> jnp.ndarray:

@@ -172,6 +172,25 @@ def test_sphere_light_pdf_integrates_to_one():
     np.testing.assert_allclose(integral, 1.0, rtol=0.05)
 
 
+def test_wavefront_matches_classic():
+    """Path regeneration reconstructs the classic per-(pixel, sample,
+    bounce) RNG stream exactly — images must agree to fp-sum-order noise."""
+    scene, cam = catalog.cornell_box(width=16, spp=4, max_depth=4)
+    k = jax.random.key(3)
+    a = np.asarray(integrator.render_image(scene, cam, k, spp=4))
+    b = np.asarray(integrator.render_image_wavefront(scene, cam, k, spp=4))
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_wavefront_with_volumes_and_background():
+    """Regeneration handles RNG-consuming volumes and env-map misses."""
+    scene, cam = catalog.cornell_box_with_volume(width=12, spp=2, max_depth=3)
+    k = jax.random.key(1)
+    a = np.asarray(integrator.render_image(scene, cam, k, spp=2))
+    b = np.asarray(integrator.render_image_wavefront(scene, cam, k, spp=2))
+    np.testing.assert_allclose(b, a, atol=1e-5)
+
+
 def test_render_image_gradient_flows_to_albedo():
     """Radiance is differentiable w.r.t. the albedo table (north-star)."""
     scene, cam = catalog.white_sphere(width=8, spp=2, max_depth=3)
