@@ -64,7 +64,7 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
     emission, scatter. The shared body of the classic scan integrator and
     the path-regeneration wavefront (estimator: src/camera.h:193-241)."""
     hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
-                                u[:, mat_ops.SLOT_VOLUME0:])
+                                u[:, mat_ops.SLOT_VOLUME0:], active=alive)
 
     # miss -> background, lane terminates
     bg = background_color(scene, dirs)

@@ -177,6 +177,11 @@ class Scene:
     # per-vertex triangle attributes (smooth normals + UVs); None when no
     # mesh supplied them
     tri_attrs: TriAttrs | None = None
+    # static scene AABB (in the traced, recentered frame) — quantization
+    # range for the secondary-ray coherence sort keys (ops/raysort.py).
+    # Tuples of 3 floats so they are trace-time constants, not device data.
+    world_lo: tuple | None = struct.field(pytree_node=False, default=None)
+    world_hi: tuple | None = struct.field(pytree_node=False, default=None)
     # world-space offset folded out of the geometry at build time when the
     # scene centroid is far from the origin: the MXU-expanded quadratics
     # (|o|^2 - 2 o.c + |c|^2) cancel catastrophically in f32 beyond ~1e3
@@ -666,6 +671,38 @@ class SceneBuilder:
 
         tex_types_used = tuple(sorted({t["ttype"] for t in self._texs}))
 
+        # static scene AABB (traced frame) for the secondary-ray coherence
+        # sort (ops/raysort.py): conservative union over all primitive bounds
+        blo = np.full(3, np.inf)
+        bhi = np.full(3, -np.inf)
+
+        def acc(lo_pts, hi_pts=None):
+            nonlocal blo, bhi
+            blo = np.minimum(blo, np.min(lo_pts, axis=0))
+            bhi = np.maximum(bhi, np.max(hi_pts if hi_pts is not None
+                                         else lo_pts, axis=0))
+
+        if self._sph:
+            c0 = np.stack([np.asarray(r[0], np.float64) for r in self._sph])
+            c1 = np.stack([np.asarray(r[1], np.float64) for r in self._sph])
+            rr = np.array([r[2] for r in self._sph])[:, None]
+            acc(np.minimum(c0, c1) - rr, np.maximum(c0, c1) + rr)
+        if self._quads:
+            qc = np.stack([np.asarray(r[0], np.float64) for r in self._quads])
+            qu = np.stack([np.asarray(r[1], np.float64) for r in self._quads])
+            qv = np.stack([np.asarray(r[2], np.float64) for r in self._quads])
+            pts = np.stack([qc, qc + qu, qc + qv, qc + qu + qv])
+            acc(pts.min(axis=0), pts.max(axis=0))
+        if self._tris:
+            tv = np.stack([[np.asarray(r[i], np.float64) for i in range(3)]
+                           for r in self._tris])      # [n,3,3]
+            acc(tv.min(axis=1), tv.max(axis=1))
+        if self._vols:
+            vc = np.stack([np.asarray(r[1], np.float64) for r in self._vols])
+            vr = np.array([np.linalg.norm(r[2]) for r in self._vols])[:, None]
+            acc(vc - vr, vc + vr)
+        have_bounds = bool(np.isfinite(blo).all() and np.isfinite(bhi).all())
+
         return Scene(
             spheres=sph,
             quads=qds,
@@ -689,6 +726,8 @@ class SceneBuilder:
             quad_tree=quad_tree,
             tri_tree=tri_tree,
             tri_attrs=tri_attrs,
+            world_lo=tuple(float(x) for x in blo) if have_bounds else None,
+            world_hi=tuple(float(x) for x in bhi) if have_bounds else None,
             world_offset=(jnp.asarray(world_offset, jnp.float32)
                           if world_offset is not None else None),
         )

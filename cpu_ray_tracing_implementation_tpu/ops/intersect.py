@@ -16,6 +16,7 @@ behind the same ``Hit`` interface — selected statically per scene here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -321,8 +322,105 @@ def volume_sample(org, dirs, vols, tmin, t_surface, u_vol):
 
 
 # ------------------------------------------------------------------ combined
-def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
+def _sort_wanted(scene, n_rays: int) -> bool:
+    """Static decision: coherence-sort the batch before intersecting?
+
+    On for large chunked scenes (where the packet accelerator's per-tile
+    cull needs coherent tiles to bite — ops/raysort.py docstring has the
+    measured collapse) unless CRT_SORT=off; CRT_SORT=on forces it for any
+    chunked scene."""
+    import os
+
+    mode = os.environ.get("CRT_SORT", "auto")
+    if mode == "off" or scene.world_lo is None:
+        return False
+    ks = [c.corner.shape[0] if hasattr(c, "corner") else c.rad.shape[0]
+          for c in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks)
+          if c is not None]
+    kmax = max(ks, default=0)
+    if mode == "on":
+        return kmax > 0
+    from cpu_ray_tracing_implementation_tpu.ops import raysort
+
+    return kmax >= raysort.MIN_CHUNKS and n_rays >= raysort.MIN_RAYS
+
+
+def _packet_cap(scene, org, dirs, active, tmax, tmin):
+    """Per-ray traversal cap for the packet accelerator: a ray's closest
+    hit cannot lie beyond its exit from the scene AABB, so miss rays stop
+    tightening tiles at their world exit instead of riding t=inf through
+    every chunk; terminated lanes (``active``=False) get cap=tmin — their
+    tiles' front-to-back loop exits after zero visits. A pure bound: wrapped
+    in stop_gradient, and every true hit is strictly inside it."""
+    cap = jnp.broadcast_to(jnp.asarray(tmax, org.dtype), org.shape[:1])
+    if scene.world_lo is not None:
+        lo = jnp.asarray(scene.world_lo, org.dtype)
+        hi = jnp.asarray(scene.world_hi, org.dtype)
+        inv = 1.0 / jnp.where(jnp.abs(dirs) > 1e-20, dirs, 1e-20)
+        t0 = (lo[None, :] - org) * inv
+        t1 = (hi[None, :] - org) * inv
+        far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        cap = jnp.minimum(jnp.maximum(far, tmin) * 1.0001 + 1e-3, cap)
+    if active is not None:
+        cap = jnp.where(active, cap, tmin)
+    return jax.lax.stop_gradient(cap)
+
+
+def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF,
+                    active=None):
     """Closest hit across all primitive tables -> Hit. ``u_vol``: [R, V].
+
+    Large chunked scenes are intersected in coherence-sorted lane order
+    (sorted by origin-Morton/direction-octant key, results restored to the
+    caller's order — ops/raysort.py) so the packet accelerator's per-tile
+    culling survives post-bounce ray divergence. ``active``: optional [R]
+    mask of lanes whose result matters — dead lanes sort to the tail and
+    traverse nothing (the wavefront-compaction equivalent for fixed shapes).
+    """
+    if not _sort_wanted(scene, org.shape[0]):
+        return _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax,
+                               active)
+    from cpu_ray_tracing_implementation_tpu.ops import raysort
+
+    lo = jnp.asarray(scene.world_lo, org.dtype)
+    hi = jnp.asarray(scene.world_hi, org.dtype)
+    keys = raysort.coherence_keys(org, dirs, lo, hi)
+    if active is not None:
+        # dead lanes to the tail: their whole tiles then exit immediately
+        keys = jnp.where(active, keys, jnp.int32(0x40000000))
+    ins = [org, dirs, time]
+    if u_vol.shape[1]:
+        ins.append(u_vol)
+    tmax_arr = jnp.ndim(tmax) == 1
+    if tmax_arr:
+        ins.append(tmax)
+    if active is not None:
+        ins.append(active.astype(jnp.int32))
+    sorted_ins, lane_ids = raysort.sort_rays(keys, ins)
+    s_org, s_dirs, s_time = sorted_ins[:3]
+    pos = 3
+    s_u = u_vol
+    if u_vol.shape[1]:
+        s_u = sorted_ins[pos]
+        pos += 1
+    s_tmax = tmax
+    if tmax_arr:
+        s_tmax = sorted_ins[pos]
+        pos += 1
+    s_active = None
+    if active is not None:
+        s_active = sorted_ins[pos].astype(bool)
+    h = _intersect_core(scene, s_org, s_dirs, s_time, tmin, s_u, s_tmax,
+                        s_active)
+    valid, t, p, normal, front, uu, vv, mat = raysort.unsort(
+        lane_ids, [h.valid, h.t, h.p, h.normal, h.front, h.u, h.v, h.mat])
+    return Hit(valid=valid, t=t, p=p, normal=normal, front=front,
+               u=uu, v=vv, mat=mat)
+
+
+def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
+                    active=None):
+    """Closest hit in the caller's lane order (see intersect_brute).
 
     ``scene.counts`` is static, so primitive types the scene doesn't contain
     never enter the XLA graph (an empty table is padded to one inactive row
@@ -348,7 +446,8 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
         mode = accel_mode()
         if mode in ("auto", "packet"):
             t_s, sph_payload = pkt.sphere_closest_accel(
-                org, dirs, time, scene.sphere_chunks, tmin, tmax)
+                org, dirs, time, scene.sphere_chunks, tmin,
+                _packet_cap(scene, org, dirs, active, tmax, tmin))
         elif mode == "bvh" and scene.sphere_tree is not None:
             t_s, sph_payload = bvh_mod.sphere_closest_accel(
                 org, dirs, time, scene.sphere_chunks, scene.sphere_tree,
@@ -375,8 +474,9 @@ def intersect_brute(scene, org, dirs, time, tmin, u_vol, tmax=INF):
 
         mode = accel_mode()
         if mode in ("auto", "packet"):
-            return pkt.planar_closest_accel(org, dirs, chs, tmin, tri_flag,
-                                            tmax)
+            return pkt.planar_closest_accel(
+                org, dirs, chs, tmin, tri_flag,
+                _packet_cap(scene, org, dirs, active, tmax, tmin))
         if mode == "bvh" and tree is not None:
             return bvh_mod.planar_closest_accel(org, dirs, chs, tree, tmin,
                                                 tri_flag, tmax)

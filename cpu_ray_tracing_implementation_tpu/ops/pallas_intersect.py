@@ -31,9 +31,12 @@ from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 
 BIG = 1e30
 TILE_R = 1024
-# Pallas grid cap: beyond this many chunks the (ray tiles x chunks) grid has
-# been observed to fault the TPU worker; larger scenes take the XLA scan
-MAX_PALLAS_CHUNKS = 512
+# Pallas grid cap. Round 1 capped this at 512 after an unexplained TPU
+# worker fault; tools/pallas_cap_probe.py (round 2, v5e chip) ran the
+# compiled kernel at 600/1024/2016/2500 chunks with parity vs the XLA scan
+# — no fault (the round-1 crash was tunnel-queue flakiness, not the grid).
+# 8192 chunks = 1M primitives; beyond that take the XLA scan.
+MAX_PALLAS_CHUNKS = 8192
 
 # prim-constant pack rows (built host/trace-side from PlanarChunks)
 ROW_UNORM = 0     # 0:3   plane unit normal

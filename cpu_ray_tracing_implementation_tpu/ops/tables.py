@@ -19,8 +19,8 @@ MAX_ONEHOT = 64
 
 
 def onehot(idx: jnp.ndarray, n: int, dtype=jnp.float32) -> jnp.ndarray:
-    """[R,n] one-hot of idx [R]."""
-    return (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]).astype(dtype)
+    """[..., n] one-hot of idx [...] (any leading batch shape)."""
+    return (idx[..., None] == jnp.arange(n, dtype=idx.dtype)).astype(dtype)
 
 
 def take_rows(table: jnp.ndarray, idx: jnp.ndarray, oh: jnp.ndarray | None = None):

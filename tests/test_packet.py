@@ -140,3 +140,30 @@ def test_end_to_end_packet_vs_chunked(sphere_scene, monkeypatch):
     img_p = np.asarray(integrator.render_image(sphere_scene, cam, key, spp=2))
     assert np.isfinite(img_p).all()
     np.testing.assert_allclose(img_p, img_c, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["sphere", "tri"])
+def test_lockstep_schedule_matches_map(sphere_scene, tri_scene, kind,
+                                       monkeypatch):
+    """CRT_PACKET=lockstep (one batched while_loop over all tiles) must
+    return exactly the same hits as the default per-tile map schedule."""
+    rng = np.random.default_rng(11)
+    org, dirs = _rand_rays(rng, 1000)
+    if kind == "sphere":
+        time = jnp.zeros((1000,), jnp.float32)
+        args = (org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
+        run = lambda: pkt.sphere_closest_packet(*args, tile=128)
+    else:
+        args = (org, dirs, tri_scene.tri_chunks, 1e-3, True)
+        run = lambda: pkt.planar_closest_packet(*args, tile=128)
+    t_map, pay_map = run()
+    monkeypatch.setenv("CRT_PACKET", "lockstep")
+    t_ls, pay_ls = run()
+    np.testing.assert_array_equal(np.isfinite(np.asarray(t_map)),
+                                  np.isfinite(np.asarray(t_ls)))
+    m = np.isfinite(np.asarray(t_map))
+    np.testing.assert_allclose(np.asarray(t_ls)[m], np.asarray(t_map)[m],
+                               rtol=1e-6)
+    for a_m, a_l in zip(pay_map, pay_ls):
+        np.testing.assert_allclose(np.asarray(a_l)[m], np.asarray(a_m)[m],
+                                   atol=1e-5)

@@ -61,6 +61,33 @@ def test_compiled_sphere_kernel_matches_scan(sphere_scene):
                                   np.asarray(m_c)[hit_c])
 
 
+def test_compiled_planar_kernel_large_grid():
+    """Fused planar kernel at 2016 chunks (258k tris) — the sponza-class
+    grid size round 1 capped at 512 chunks. Compiled, parity vs the scan."""
+    from cpu_ray_tracing_implementation_tpu.models import scene as scene_mod
+    from cpu_ray_tracing_implementation_tpu.ops import chunked
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+    rng = np.random.default_rng(3)
+    n = 2016 * chunked.CHUNK
+    b = scene_mod.SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    centers = rng.normal(0, 20, (n, 3))
+    b.triangles(centers[:, None, :] + rng.normal(0, 0.2, (n, 3, 3)), m)
+    sc = b.build()
+    assert sc.tri_chunks.corner.shape[0] >= 2016
+    assert pk.fits_pallas(sc.tri_chunks)
+    org, dirs = _rand_rays(rng, 1024)
+    t_p, _ = pk.planar_closest_pallas(org, dirs, sc.tri_chunks, 1e-3,
+                                      triangle=True)
+    t_c, _ = chunked.planar_closest(org, dirs, sc.tri_chunks, 1e-3,
+                                    triangle=True)
+    hit = np.isfinite(np.asarray(t_c))
+    np.testing.assert_array_equal(hit, np.isfinite(np.asarray(t_p)))
+    np.testing.assert_allclose(np.asarray(t_p)[hit], np.asarray(t_c)[hit],
+                               rtol=2e-3)
+
+
 def test_compiled_packet_matches_scan(sphere_scene):
     """The packet traversal compiled for TPU must agree with the scan."""
     from cpu_ray_tracing_implementation_tpu.ops import chunked
@@ -76,5 +103,8 @@ def test_compiled_packet_matches_scan(sphere_scene):
     np.testing.assert_array_equal(np.isfinite(np.asarray(t_c)),
                                   np.isfinite(np.asarray(t_p)))
     m = np.isfinite(np.asarray(t_c))
+    # rtol: the lockstep packet's batched [G,T,C] einsums reduce in a
+    # different MXU tiling order than the scan; the sphere quadratic's
+    # cancellation amplifies that f32 drift to ~5e-4 relative on chip
     np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_c)[m],
-                               rtol=1e-6)
+                               rtol=2e-3)
