@@ -30,36 +30,33 @@ from cpu_ray_tracing_implementation_tpu.models import catalog, diff, integrator
 REF_CORNELL_RAYS_PER_S = 14_400_000 / 34.8  # reference C++ on 4-core host CPU
 
 # ---- speed-of-light model for one TPU v5e (v5 lite) chip ----
-# Published chip specs: 197 TFLOP/s bf16 MXU, 819 GB/s HBM. This workload's
-# geometry matmuls run precision=highest (f32 via multi-pass bf16, ~1/6 of
-# bf16 peak) and most of its FLOPs are elementwise VPU work (~7 TFLOP/s
-# f32). The honest compute ceiling for this op mix is therefore the VPU
-# rate; MFU is also reported against the bf16 MXU peak as the chip's
-# absolute speed-of-light. Details + derivation: BASELINE.md "Roofline".
-PEAK_HBM_BYTES_S = 819e9
-PEAK_VPU_FLOPS_S = 7e12
-PEAK_CHIP_FLOPS_S = 197e12
+# This workload is elementwise-dominated (slab/quadric tests, masked
+# selects, threefry RNG), so the honest compute ceiling is the VPU f32
+# rate, NOT the 197 TFLOP/s bf16 MXU peak — the geometry contractions have
+# contraction depth 3 and run precision=highest. XLA's compiled
+# cost_analysis() counts scan/while bodies once (measured 1.2e9 "flops"
+# for this ~1.7e11-flop render), so FLOPs here are ANALYTIC: a counted
+# per-path-segment cost model. Derivation, stage ablation, and the
+# measured top cost centers: BASELINE.md "Roofline" +
+# tools/profile_bench.py.
+PEAK_VPU_FLOPS_S = 0.92e12   # ~4 VPUs x (8x128) x 2 flops x ~940 MHz
+SEG_FLOPS = 2500.0           # flops per (lane, bounce): intersect ~1050,
+                             # RNG ~600, shade ~700, raygen amortized ~150
 
 
-def _roofline(fn, args, dt):
-    """(dict of roofline fields) for a jitted callable timed at ``dt``."""
-    try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        flops = float(cost.get("flops", 0.0))
-        byts = float(cost.get("bytes accessed", 0.0))
-    except Exception:  # noqa: BLE001 — cost analysis is best-effort
-        return {}
-    if not flops:
-        return {}
-    bound_s = max(flops / PEAK_VPU_FLOPS_S, byts / PEAK_HBM_BYTES_S)
+def _roofline(n_segments, dt, bwd_over_fwd=1.4):
+    """Analytic roofline fields for a fwd+bwd run timed at ``dt``.
+
+    ``n_segments``: lane-bounce count of the forward scan; the remat
+    backward re-runs the forward and adds the VJP sweep (measured
+    bwd/fwd ~ 1.4x, tools/profile_bench.py), so total flops are scaled
+    by (1 + bwd_over_fwd)."""
+    fl = n_segments * SEG_FLOPS * (1.0 + bwd_over_fwd)
     return {
-        "xla_flops": flops,
-        "xla_bytes": byts,
-        "achieved_tflops": round(flops / dt / 1e12, 2),
-        "mfu_pct": round(100.0 * flops / dt / PEAK_CHIP_FLOPS_S, 2),
-        "roofline_frac": round(bound_s / dt, 3),
-        "bound": ("compute" if flops / PEAK_VPU_FLOPS_S
-                  > byts / PEAK_HBM_BYTES_S else "memory"),
+        "analytic_flops": fl,
+        "achieved_tflops": round(fl / dt / 1e12, 3),
+        "roofline_frac": round(fl / dt / PEAK_VPU_FLOPS_S, 3),
+        "bound": "compute(vpu-f32)",
     }
 
 
@@ -95,9 +92,7 @@ def main():
     assert np.isfinite(a).all(), "matched-workload render produced non-finite pixels"
 
     # roofline accounting of the headline fwd+bwd step (BASELINE.md §Roofline)
-    roof = _roofline(
-        lambda s, c, k, t: diff.loss_and_grads(s, c, k, t, spp=256),
-        (scene, cam, jax.random.key(1), target), dt)
+    roof = _roofline(512 * 512 * 256 * cam.max_depth, dt)
 
     print(json.dumps({
         "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",

@@ -1,13 +1,21 @@
-"""Profile the headline fwd+bwd workload and print the top HLO cost centers.
+"""Profile the headline fwd+bwd workload: stage ablation + analytic roofline.
 
-Captures a jax.profiler device trace of diff.loss_and_grads on a
-reduced-spp Cornell (same per-sample graph as bench.py), then parses the
-xplane with tensorboard_plugin_profile into per-op self-time totals.
-Also times forward-only vs fwd+bwd at the same spp to split the pipeline.
+XLA's compiled cost_analysis() counts a `scan`/`while` body ONCE, so its
+flops are useless for this loop-shaped workload (measured: 1.2e9 "flops"
+for a ~1.7e11-flop render). The tensorboard xplane parsers are broken in
+this environment. So this tool derives the cost centers the robust way:
+
+ 1. stage-ablation wall-clock — time jitted subsets of the per-bounce
+    pipeline (raygen / RNG / intersect / full fwd / fwd+bwd) on the same
+    shapes, spp-scanned exactly like the real integrator;
+ 2. an analytic per-segment FLOP model (counted from the ops the dense
+    intersector + shading actually execute) to place the achieved rate
+    against the VPU roofline — this workload is elementwise-dominated, so
+    the VPU f32 rate (not the MXU bf16 peak) is the honest speed of light.
 
 Run on the chip:  python tools/profile_bench.py [spp]
 """
-import glob
+import functools
 import os
 import sys
 import time
@@ -17,88 +25,121 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cpu_ray_tracing_implementation_tpu.models import catalog, diff, integrator
+from cpu_ray_tracing_implementation_tpu.models import (camera as cam_mod,
+                                                       catalog, diff,
+                                                       integrator)
+from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
+from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
 
 spp = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 scene, cam = catalog.cornell_box(width=512, spp=spp, max_depth=8)
 target = jnp.zeros((cam.height, cam.width, 3))
 key = jax.random.key(0)
+n_pix = cam.width * cam.height
+pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+nslot = mat_ops.NSLOT + scene.n_volumes
+depth = cam.max_depth
 
-# -- timings: forward vs fwd+bwd ------------------------------------------
-img = integrator.render_image(scene, cam, key, spp=spp)
-np.asarray(img)
-t0 = time.time()
-np.asarray(integrator.render_image(scene, cam, jax.random.key(1), spp=spp))
-t_fwd = time.time() - t0
-print(f"forward-only {spp}spp: {t_fwd:.3f}s "
-      f"({512*512*spp/t_fwd/1e6:.1f} M rays/s)", flush=True)
 
-loss, (gs, gc) = diff.loss_and_grads(scene, cam, key, target, spp=spp)
-np.asarray(loss)
-t0 = time.time()
-loss, (gs, gc) = diff.loss_and_grads(scene, cam, jax.random.key(1), target,
-                                     spp=spp)
-np.asarray(loss); np.asarray(gs["tex_color0"])
-t_fb = time.time() - t0
-print(f"fwd+bwd      {spp}spp: {t_fb:.3f}s "
-      f"({512*512*spp/t_fb/1e6:.1f} M rays/s)  bwd/fwd = "
-      f"{(t_fb-t_fwd)/t_fwd:.2f}x", flush=True)
+def timed(fn, *args):
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)
+    t0 = time.time()
+    out = fn(*args)
+    jax.tree.map(np.asarray, out)
+    return time.time() - t0
 
-# -- cost analysis ---------------------------------------------------------
-for name, fn, args in [
-    ("fwd", lambda s, c, k: integrator.render_image(s, c, k, spp=spp),
-     (scene, cam, key)),
-    ("fwd+bwd", lambda s, c, k, t: diff.loss_and_grads(s, c, k, t, spp=spp),
-     (scene, cam, key, target)),
-]:
-    try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        print(f"cost[{name}]: flops={cost.get('flops', 0):.3e} "
-              f"bytes={cost.get('bytes accessed', 0):.3e}", flush=True)
-    except Exception as e:  # noqa: BLE001
-        print(f"cost[{name}] unavailable: {e}", flush=True)
 
-# -- device trace ----------------------------------------------------------
-logdir = "/tmp/jaxprof"
-os.system(f"rm -rf {logdir}")
-with jax.profiler.trace(logdir):
-    loss, _ = diff.loss_and_grads(scene, cam, jax.random.key(2), target,
-                                  spp=spp)
-    np.asarray(loss)
+def spp_scan(per_sample):
+    """Sum a per-sample fn over spp samples, like accumulate_samples."""
+    def run(k):
+        def one(acc, s):
+            return acc + per_sample(jax.random.fold_in(k, s)), None
+        acc, _ = jax.lax.scan(one, jnp.zeros((n_pix, 3)), jnp.arange(spp))
+        return acc
+    return jax.jit(run)
 
-xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
-print("xplane files:", xplanes, flush=True)
-if xplanes:
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
 
-        data, _ = r2t.xspace_to_tool_data(xplanes, "hlo_op_stats^", {})
-        out = "/tmp/jaxprof_opstats.csv"
-        with open(out, "wb") as f:
-            f.write(data if isinstance(data, bytes) else data.encode())
-        print(f"wrote {out}", flush=True)
-        import csv
-        import io
+# -- stages ----------------------------------------------------------------
+def stage_raygen(k):
+    k_cam, _ = jax.random.split(k)
+    u_cam = integrator._per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
+    org, dirs, t = cam_mod.generate_rays(cam, pixel_ids, u_cam)
+    return org + dirs + t[:, None]
 
-        text = data.decode() if isinstance(data, bytes) else data
-        rows = list(csv.DictReader(io.StringIO(text)))
-        if rows:
-            keyf = ("total_self_time" if "total_self_time" in rows[0]
-                    else ("self_time_us" if "self_time_us" in rows[0]
-                          else list(rows[0])[0]))
-            rows.sort(key=lambda r: -float(r.get(keyf, 0) or 0))
-            cols = [c for c in ("category", "operation", keyf, "occurrences")
-                    if c in rows[0]]
-            print("top ops by", keyf)
-            for r in rows[:25]:
-                print("  ", {c: r[c] for c in cols}, flush=True)
-    except Exception as e:  # noqa: BLE001
-        print("op_stats parse failed:", repr(e), flush=True)
-        try:
-            from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
-            data, _ = r2t.xspace_to_tool_data(xplanes, "overview_page^", {})
-            open("/tmp/jaxprof_overview.json", "wb").write(
-                data if isinstance(data, bytes) else data.encode())
-            print("wrote /tmp/jaxprof_overview.json", flush=True)
-        except Exception as e2:  # noqa: BLE001
-            print("overview failed too:", repr(e2), flush=True)
+
+def stage_rng(k):
+    _, k_path = jax.random.split(k)
+    def bounce(acc, b):
+        u = integrator._per_ray_uniforms(jax.random.fold_in(k_path, b),
+                                         pixel_ids, nslot)
+        return acc + jnp.sum(u, axis=1, keepdims=True) * jnp.ones((1, 3)), None
+    acc, _ = jax.lax.scan(bounce, jnp.zeros((n_pix, 3)), jnp.arange(depth))
+    return acc
+
+
+def stage_intersect(k):
+    """raygen + RNG + depth x intersect (no shading: hit point feeds the
+    next bounce with the same direction)."""
+    k_cam, k_path = jax.random.split(k)
+    u_cam = integrator._per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
+    org, dirs, t = cam_mod.generate_rays(cam, pixel_ids, u_cam)
+    def bounce(carry, b):
+        org, dirs = carry
+        u = integrator._per_ray_uniforms(jax.random.fold_in(k_path, b),
+                                         pixel_ids, nslot)
+        hit = isect.intersect_brute(scene, org, dirs, t, integrator.T_MIN,
+                                    u[:, mat_ops.SLOT_VOLUME0:])
+        org = jnp.where(hit.valid[:, None], hit.p, org)
+        return (org, dirs), None
+    (org, _), _ = jax.lax.scan(bounce, (org, dirs), jnp.arange(depth))
+    return org
+
+
+def stage_fwd(k):
+    return integrator.render_sample(scene, cam, k, pixel_ids)
+
+
+rows = []
+for name, per_sample in [("raygen+film", stage_raygen),
+                         (" + path RNG", stage_rng),
+                         (" + intersect x depth", stage_intersect),
+                         (" + shade (full fwd)", stage_fwd)]:
+    dt = timed(spp_scan(per_sample), key)
+    rows.append((name, dt))
+    print(f"{name:22s}: {dt:7.3f}s  ({n_pix*spp/dt/1e6:6.1f} M rays/s)",
+          flush=True)
+
+fn_fb = jax.jit(functools.partial(diff.loss_and_grads, spp=spp),
+                static_argnames=()) if False else \
+    (lambda k: diff.loss_and_grads(scene, cam, k, target, spp=spp))
+t_fb = timed(fn_fb, key)
+rows.append(("fwd+bwd", t_fb))
+t_fwd = rows[-2][1]
+print(f"{'fwd+bwd':22s}: {t_fb:7.3f}s  ({n_pix*spp/t_fb/1e6:6.1f} M rays/s)"
+      f"  bwd/fwd = {(t_fb - t_fwd)/t_fwd:.2f}x", flush=True)
+
+# -- deltas = cost centers -------------------------------------------------
+print("\nstage deltas (share of full fwd):")
+prev = 0.0
+for name, dt in rows[:4]:
+    print(f"  {name:22s} {dt - prev:7.3f}s  {(dt - prev)/t_fwd*100:5.1f}%",
+          flush=True)
+    prev = dt
+print(f"  {'backward pass':22s} {t_fb - t_fwd:7.3f}s  "
+      f"(+{(t_fb - t_fwd)/t_fwd*100:.0f}% of fwd)", flush=True)
+
+# -- analytic roofline (see BASELINE.md "Roofline") ------------------------
+# Per path segment (one bounce of one live lane), dense Cornell path:
+#   intersect: N=18 planar prims x (6 dot-3 contractions ~36f + ~22f
+#              interior/select) ~ 1,050 flops
+#   RNG: nslot+2 threefry2x32 uniforms ~ 11 x ~54 rounds-flops ~ 600 flops
+#   shade (lambertian/metal/dielectric/light MIS mix + textures) ~ 700 flops
+#   raygen amortized ~ 150 flops
+SEG_FLOPS = 2500.0
+segments = n_pix * spp * depth  # the scan runs every lane every bounce
+fl = segments * SEG_FLOPS
+VPU_F32 = 0.92e12  # v5e: 4 VPU lanes x 8x128 x 2 flop @ ~940 MHz (approx)
+print(f"\nanalytic fwd flops ~ {fl:.2e} ({fl/t_fwd/1e12:.2f} Tf/s achieved; "
+      f"VPU f32 roofline ~{VPU_F32/1e12:.2f} Tf/s -> "
+      f"{fl/t_fwd/VPU_F32*100:.0f}% of VPU speed-of-light)", flush=True)
