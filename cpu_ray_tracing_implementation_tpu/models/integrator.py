@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
+from cpu_ray_tracing_implementation_tpu.ops import fastrng
 from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
 from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
 from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
@@ -47,14 +48,30 @@ def background_color(scene, dirs: jnp.ndarray) -> jnp.ndarray:
     return eval_texture(scene, tex_id, u, v, unit_d)
 
 
+def _rng_impl() -> str:
+    """Path-sampling RNG (env CRT_RNG, read at trace time):
+    'fast' (default) = counter-hash stream (ops/fastrng.py, ~10x cheaper —
+    raygen+RNG measured at ~44% of forward under threefry, BASELINE.md
+    Roofline); 'threefry' = per-lane jax.random fold chain (round-1 stream;
+    kept for replay/regression comparisons)."""
+    import os
+
+    return os.environ.get("CRT_RNG", "fast")
+
+
 def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
     """[R, nslot] uniforms from counter-based per-ray keys.
 
-    Folding the key by *ray id* (not batch position) makes the stream
-    invariant to how the ray batch is split across devices or steps — the
-    property that lets sharded and single-chip renders match bitwise
-    (replacing the reference's shared std::rand() stream, src/utility.h:20).
+    Keying by *ray id* (not batch position) makes the stream invariant to
+    how the ray batch is split across devices or steps — the property that
+    lets sharded and single-chip renders match bitwise (replacing the
+    reference's shared std::rand() stream, src/utility.h:20). Both impls
+    keep that contract; ``fast`` derives two seed words from ``key`` (one
+    scalar threefry, amortized over the batch) and hashes (seed, id, slot).
     """
+    if _rng_impl() == "fast":
+        w = jax.random.bits(key, (2,), jnp.uint32)
+        return fastrng.uniforms(w[0], w[1], ray_ids, nslot)
     keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, ray_ids)
     return jax.vmap(lambda k: jax.random.uniform(k, (nslot,)))(keys)
 
@@ -195,9 +212,27 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     R = n_pix
     total = n_pix * spp
     f32 = jnp.float32
+    fast = _rng_impl() == "fast"
+
+    if fast:
+        # The classic stream's threefry work collapses to one tiny seed-word
+        # table outside the loop: row (s, b) holds the two u32s the scan
+        # integrator draws via bits(fold_in(split(fold_in(key, s))[1], b)).
+        # Lanes gather their row by (sample, bounce) — bitwise the classic
+        # per-path stream at O(spp * depth) threefry total instead of
+        # O(lanes * segments).
+        def _sample_words(s):
+            k_cam, k_path = jax.random.split(jax.random.fold_in(key, s))
+            cam_w = jax.random.bits(k_cam, (2,), jnp.uint32)
+            path_w = jax.vmap(lambda b: jax.random.bits(
+                jax.random.fold_in(k_path, b), (2,), jnp.uint32))(
+                    jnp.arange(max_depth))
+            return cam_w, path_w
+
+        cam_words, path_words = jax.vmap(_sample_words)(jnp.arange(spp))
 
     def path_keys(path_id):
-        """(k_cam, k_path) of a path's sample, per lane."""
+        """(k_cam, k_path) of a path's sample, per lane (threefry impl)."""
         sample = path_id // n_pix
         ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample)
         pair = jax.vmap(lambda k: jax.random.split(k))(ks)
@@ -207,9 +242,14 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         """Camera rays + fresh state for the given path ids (id >= total ->
         inactive lane)."""
         pix = path_id % n_pix
-        k_cam, _ = path_keys(path_id)
-        cam_keys = jax.vmap(jax.random.fold_in)(k_cam, pix)
-        u_cam = _lane_uniforms(cam_keys, cam_mod.N_CAM_SLOTS)
+        if fast:
+            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            u_cam = fastrng.uniforms(cam_words[s, 0], cam_words[s, 1],
+                                     pix, cam_mod.N_CAM_SLOTS)
+        else:
+            k_cam, _ = path_keys(path_id)
+            cam_keys = jax.vmap(jax.random.fold_in)(k_cam, pix)
+            u_cam = _lane_uniforms(cam_keys, cam_mod.N_CAM_SLOTS)
         org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
         if scene.world_offset is not None:
             org = org - scene.world_offset[None, :]
@@ -220,10 +260,16 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         (path_id, bounce, org, dirs, time, throughput, radiance, alive,
          issued, image) = state
         pix = path_id % n_pix
-        _, k_path = path_keys(path_id)
-        u_keys = jax.vmap(jax.random.fold_in)(
-            jax.vmap(jax.random.fold_in)(k_path, bounce), pix)
-        u = _lane_uniforms(u_keys, nslot)
+        if fast:
+            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            b = jnp.clip(bounce, 0, max_depth - 1)
+            u = fastrng.uniforms(path_words[s, b, 0], path_words[s, b, 1],
+                                 pix, nslot)
+        else:
+            _, k_path = path_keys(path_id)
+            u_keys = jax.vmap(jax.random.fold_in)(
+                jax.vmap(jax.random.fold_in)(k_path, bounce), pix)
+            u = _lane_uniforms(u_keys, nslot)
 
         org, dirs, time, throughput, radiance, alive2 = _shade_step(
             scene, org, dirs, time, throughput, radiance, alive, u)

@@ -29,13 +29,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-# murmur3 fmix32 / h2 hash constants
-_C1 = jnp.uint32(0x85EBCA6B)
-_C2 = jnp.uint32(0xC2B2AE35)
-_C3 = jnp.uint32(0x7FEB352D)
-_C4 = jnp.uint32(0x846CA68B)
-_GOLD = jnp.uint32(0x9E3779B9)
+# murmur3 fmix32 / h2 hash constants — numpy scalars, NOT jnp (a
+# module-level jnp.uint32 would initialize the XLA backend at import,
+# breaking jax.distributed.initialize in multihost workers)
+_C1 = np.uint32(0x85EBCA6B)
+_C2 = np.uint32(0xC2B2AE35)
+_C3 = np.uint32(0x7FEB352D)
+_C4 = np.uint32(0x846CA68B)
+_GOLD = np.uint32(0x9E3779B9)
 
 
 def _fmix(x: jnp.ndarray) -> jnp.ndarray:

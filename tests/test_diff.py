@@ -81,7 +81,9 @@ def test_camera_fov_grad_matches_finite_difference():
         return diff.image_loss(scene, cam.replace(fovy_deg=fovy), key, target, spp=2)
 
     g = float(jax.grad(loss_fn)(cam.fovy_deg))
-    eps = 1e-2
+    # eps small enough that FD curvature error is under the tolerance (the
+    # perlin wall makes d3L/dfov3 large; FD converges to AD as eps -> 0)
+    eps = 3e-3
     fd = (float(loss_fn(cam.fovy_deg + eps)) - float(loss_fn(cam.fovy_deg - eps))) / (2 * eps)
     assert abs(g) > 1e-6  # the gradient actually exists
     np.testing.assert_allclose(g, fd, rtol=0.1, atol=1e-6)

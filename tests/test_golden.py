@@ -22,31 +22,33 @@ import pytest
 
 from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
 
-# recorded 2026-08-17 (round 1)
+# recorded 2026-08-17 (round 2, CRT_RNG=fast default stream)
 GOLDEN_MEANS = {
-    "cornell_box": 0.100140,
-    "cornell_box_with_glossy_ball": 0.229952,
-    "cornell_box_with_rotated_box": 0.536886,
-    "cornell_box_with_specular_box": 0.490410,
-    "cornell_box_with_volume": 0.491521,
-    "different_fuzz_metal": 0.258613,
-    "glass_fox": 0.612862,
-    "infinite_reflection": 0.377098,
-    "perlin_texture_ball": 0.451571,
-    "random_motion_ball": 0.415790,
-    "simple_light_earth": 0.042970,
-    "skybox_and_fisheye": 0.637904,
-    "skybox_and_motion_blur": 0.627538,
-    "sphereflake": 0.588514,
+    "cornell_box": 0.157958,
+    "cornell_box_with_glossy_ball": 0.308892,
+    "cornell_box_with_rotated_box": 0.534592,
+    "cornell_box_with_specular_box": 0.483291,
+    "cornell_box_with_sphere_light": 0.431985,
+    "cornell_box_with_volume": 0.483432,
+    "different_fuzz_metal": 0.327512,
+    "glass_fox": 0.611855,
+    "infinite_reflection": 0.334672,
+    "perlin_texture_ball": 0.432220,
+    "random_motion_ball": 0.421274,
+    "simple_light_earth": 0.034371,
+    "skybox_and_fisheye": 0.633859,
+    "skybox_and_motion_blur": 0.630439,
+    "sphereflake": 0.592463,
     # sponza: procedural colonnade substitute (Sponza.bin absent)
-    "sponza": 0.399436,
-    "test_perlin_noise": 0.491395,
-    "test_value_noise": 0.505920,
-    "test_voronoi_noise": 0.469763,
-    "test_worley_noise": 0.314934,
-    "three_material_ball": 0.545258,
-    "three_material_ball_with_defocus_blur": 0.597266,
-    "white_sphere": 0.999023,
+    "sponza": 0.403617,
+    "test_perlin_noise": 0.507109,
+    "test_value_noise": 0.496078,
+    "test_voronoi_noise": 0.462877,
+    "test_worley_noise": 0.322421,
+    "textured_fox": 0.621758,
+    "three_material_ball": 0.556310,
+    "three_material_ball_with_defocus_blur": 0.609128,
+    "white_sphere": 1.000000,
 }
 
 
