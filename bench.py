@@ -40,16 +40,16 @@ REF_CORNELL_RAYS_PER_S = 14_400_000 / 34.8  # reference C++ on 4-core host CPU
 # measured top cost centers: BASELINE.md "Roofline" +
 # tools/profile_bench.py.
 PEAK_VPU_FLOPS_S = 0.92e12   # ~4 VPUs x (8x128) x 2 flops x ~940 MHz
-SEG_FLOPS = 2500.0           # flops per (lane, bounce): intersect ~1050,
-                             # RNG ~600, shade ~700, raygen amortized ~150
+SEG_FLOPS = 2100.0           # flops per (lane, bounce): intersect ~1050,
+                             # fast RNG ~150, shade ~700, raygen ~150
 
 
-def _roofline(n_segments, dt, bwd_over_fwd=1.4):
+def _roofline(n_segments, dt, bwd_over_fwd=2.18):
     """Analytic roofline fields for a fwd+bwd run timed at ``dt``.
 
     ``n_segments``: lane-bounce count of the forward scan; the remat
-    backward re-runs the forward and adds the VJP sweep (measured
-    bwd/fwd ~ 1.4x, tools/profile_bench.py), so total flops are scaled
+    backward re-runs the forward and adds the VJP sweep (slope-measured
+    bwd/fwd = 2.18x, tools/profile_bench.py), so total flops are scaled
     by (1 + bwd_over_fwd)."""
     fl = n_segments * SEG_FLOPS * (1.0 + bwd_over_fwd)
     return {

@@ -5,17 +5,21 @@ flops are useless for this loop-shaped workload (measured: 1.2e9 "flops"
 for a ~1.7e11-flop render). The tensorboard xplane parsers are broken in
 this environment. So this tool derives the cost centers the robust way:
 
- 1. stage-ablation wall-clock — time jitted subsets of the per-bounce
-    pipeline (raygen / RNG / intersect / full fwd / fwd+bwd) on the same
-    shapes, spp-scanned exactly like the real integrator;
+ 1. SLOPE-based stage-ablation — time jitted subsets of the per-bounce
+    pipeline (raygen / RNG / intersect / full fwd / fwd+bwd), each at TWO
+    spp values, and take (dt_hi - dt_lo) / (spp_hi - spp_lo) as the real
+    per-sample cost. The axon tunnel adds a FIXED ~35-90 ms per dispatch
+    (latency + result fetch; measured: a 32-iter and a 128-iter null scan
+    both cost ~90 ms) which a single-shot timing attributes to whatever
+    stage ran first — the slope cancels it. The fixed overhead is
+    reported separately.
  2. an analytic per-segment FLOP model (counted from the ops the dense
     intersector + shading actually execute) to place the achieved rate
     against the VPU roofline — this workload is elementwise-dominated, so
     the VPU f32 rate (not the MXU bf16 peak) is the honest speed of light.
 
-Run on the chip:  python tools/profile_bench.py [spp]
+Run on the chip:  python tools/profile_bench.py [spp_lo] [spp_hi]
 """
-import functools
 import os
 import sys
 import time
@@ -31,8 +35,9 @@ from cpu_ray_tracing_implementation_tpu.models import (camera as cam_mod,
 from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
 from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
 
-spp = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-scene, cam = catalog.cornell_box(width=512, spp=spp, max_depth=8)
+spp_lo = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+spp_hi = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+scene, cam = catalog.cornell_box(width=512, spp=spp_hi, max_depth=8)
 target = jnp.zeros((cam.height, cam.width, 3))
 key = jax.random.key(0)
 n_pix = cam.width * cam.height
@@ -50,7 +55,7 @@ def timed(fn, *args):
     return time.time() - t0
 
 
-def spp_scan(per_sample):
+def spp_scan(per_sample, spp):
     """Sum a per-sample fn over spp samples, like accumulate_samples."""
     def run(k):
         def one(acc, s):
@@ -58,6 +63,15 @@ def spp_scan(per_sample):
         acc, _ = jax.lax.scan(one, jnp.zeros((n_pix, 3)), jnp.arange(spp))
         return acc
     return jax.jit(run)
+
+
+def slope(make_fn):
+    """(per-sample seconds, fixed dispatch seconds) via two-point fit."""
+    t_lo = timed(make_fn(spp_lo), key)
+    t_hi = timed(make_fn(spp_hi), key)
+    per = max((t_hi - t_lo) / (spp_hi - spp_lo), 0.0)
+    fixed = max(t_lo - per * spp_lo, 0.0)
+    return per, fixed
 
 
 # -- stages ----------------------------------------------------------------
@@ -105,41 +119,42 @@ for name, per_sample in [("raygen+film", stage_raygen),
                          (" + path RNG", stage_rng),
                          (" + intersect x depth", stage_intersect),
                          (" + shade (full fwd)", stage_fwd)]:
-    dt = timed(spp_scan(per_sample), key)
-    rows.append((name, dt))
-    print(f"{name:22s}: {dt:7.3f}s  ({n_pix*spp/dt/1e6:6.1f} M rays/s)",
-          flush=True)
+    per, fixed = slope(lambda spp, f=per_sample: spp_scan(f, spp))
+    rows.append((name, per))
+    print(f"{name:22s}: {per*1e3:7.3f} ms/sample  ({n_pix/per/1e6:6.1f} M "
+          f"rays/s)  [+{fixed*1e3:.0f} ms fixed dispatch]", flush=True)
 
-fn_fb = jax.jit(functools.partial(diff.loss_and_grads, spp=spp),
-                static_argnames=()) if False else \
-    (lambda k: diff.loss_and_grads(scene, cam, k, target, spp=spp))
-t_fb = timed(fn_fb, key)
-rows.append(("fwd+bwd", t_fb))
-t_fwd = rows[-2][1]
-print(f"{'fwd+bwd':22s}: {t_fb:7.3f}s  ({n_pix*spp/t_fb/1e6:6.1f} M rays/s)"
-      f"  bwd/fwd = {(t_fb - t_fwd)/t_fwd:.2f}x", flush=True)
+per_fb, fixed_fb = slope(
+    lambda spp: (lambda k: diff.loss_and_grads(scene, cam, k, target, spp=spp)))
+t_fwd = rows[-1][1]
+rows.append(("fwd+bwd", per_fb))
+print(f"{'fwd+bwd':22s}: {per_fb*1e3:7.3f} ms/sample  "
+      f"({n_pix/per_fb/1e6:6.1f} M rays/s)  bwd/fwd = "
+      f"{(per_fb - t_fwd)/t_fwd:.2f}x  [+{fixed_fb*1e3:.0f} ms fixed]",
+      flush=True)
 
 # -- deltas = cost centers -------------------------------------------------
-print("\nstage deltas (share of full fwd):")
+print("\nstage deltas (share of full fwd, per sample):")
 prev = 0.0
-for name, dt in rows[:4]:
-    print(f"  {name:22s} {dt - prev:7.3f}s  {(dt - prev)/t_fwd*100:5.1f}%",
-          flush=True)
-    prev = dt
-print(f"  {'backward pass':22s} {t_fb - t_fwd:7.3f}s  "
-      f"(+{(t_fb - t_fwd)/t_fwd*100:.0f}% of fwd)", flush=True)
+for name, per in rows[:4]:
+    print(f"  {name:22s} {(per - prev)*1e3:7.3f} ms  "
+          f"{(per - prev)/t_fwd*100:5.1f}%", flush=True)
+    prev = per
+print(f"  {'backward pass':22s} {(per_fb - t_fwd)*1e3:7.3f} ms  "
+      f"(+{(per_fb - t_fwd)/t_fwd*100:.0f}% of fwd)", flush=True)
 
 # -- analytic roofline (see BASELINE.md "Roofline") ------------------------
 # Per path segment (one bounce of one live lane), dense Cornell path:
 #   intersect: N=18 planar prims x (6 dot-3 contractions ~36f + ~22f
 #              interior/select) ~ 1,050 flops
-#   RNG: nslot+2 threefry2x32 uniforms ~ 11 x ~54 rounds-flops ~ 600 flops
+#   RNG: (nslot+2) x 2-round murmur finalizers ~ 12f each ~ 150 flops
+#        (threefry impl: ~600)
 #   shade (lambertian/metal/dielectric/light MIS mix + textures) ~ 700 flops
 #   raygen amortized ~ 150 flops
-SEG_FLOPS = 2500.0
-segments = n_pix * spp * depth  # the scan runs every lane every bounce
-fl = segments * SEG_FLOPS
+SEG_FLOPS = 2100.0
+seg_per_sample = n_pix * depth  # the scan runs every lane every bounce
+fl = seg_per_sample * SEG_FLOPS
 VPU_F32 = 0.92e12  # v5e: 4 VPU lanes x 8x128 x 2 flop @ ~940 MHz (approx)
-print(f"\nanalytic fwd flops ~ {fl:.2e} ({fl/t_fwd/1e12:.2f} Tf/s achieved; "
-      f"VPU f32 roofline ~{VPU_F32/1e12:.2f} Tf/s -> "
+print(f"\nanalytic fwd flops/sample ~ {fl:.2e} ({fl/t_fwd/1e12:.2f} Tf/s "
+      f"achieved; VPU f32 roofline ~{VPU_F32/1e12:.2f} Tf/s -> "
       f"{fl/t_fwd/VPU_F32*100:.0f}% of VPU speed-of-light)", flush=True)
