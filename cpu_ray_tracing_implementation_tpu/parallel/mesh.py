@@ -27,12 +27,30 @@ from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
 from cpu_ray_tracing_implementation_tpu.models import integrator
 
 AXIS = "chips"
+TILE_AXIS = "tile"
+SAMP_AXIS = "samp"
 
 
 def make_mesh(devices=None) -> Mesh:
     """1-D device mesh over all (or the given) devices."""
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), (AXIS,))
+
+
+def make_mesh_2d(devices=None, shape=None) -> Mesh:
+    """2-D (tile, samp) mesh: pixel tiles shard over ``tile``, the sample
+    range over ``samp``. ``shape`` defaults to the most-square factoring
+    with the larger factor on ``tile`` (pixel sharding needs no collective
+    at all; sample sharding pays one psum)."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if shape is None:
+        t = int(np.sqrt(n))
+        while n % t:
+            t -= 1
+        shape = (max(t, n // t), min(t, n // t))
+    assert shape[0] * shape[1] == n, (shape, n)
+    return Mesh(np.asarray(devices).reshape(shape), (TILE_AXIS, SAMP_AXIS))
 
 
 def _pad_to(n: int, mult: int) -> int:
@@ -113,6 +131,49 @@ def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = N
     return run(scene, camera, key, per_dev)
 
 
+def render_image_sharded_2d(scene, camera, key, mesh: Mesh,
+                            spp: int | None = None):
+    """Full image on a 2-D (tile, samp) mesh: pixels shard over ``tile``,
+    the sample range over ``samp``; per-device partial radiance psum-reduces
+    over the ``samp`` axis only (ICI), and the pixel axis assembles through
+    the output sharding. Identical estimator and per-(pixel, sample) RNG
+    streams as the single-chip render — only the float summation order of
+    the sample axis differs (allclose, not bitwise).
+    """
+    spp = camera.spp if spp is None else spp
+    n_tile, n_samp = (mesh.devices.shape[0], mesh.devices.shape[1])
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_tile)
+    spp_padded = _pad_to(spp, n_samp)
+    per_dev = spp_padded // n_samp
+
+    @functools.partial(jax.jit, static_argnames=("per_dev_",))
+    def run(scene, camera, key, per_dev_: int):
+        pixel_ids = jnp.arange(n_padded, dtype=jnp.int32)
+        samp_base = (jnp.arange(n_samp, dtype=jnp.int32) * per_dev_)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(TILE_AXIS), P(SAMP_AXIS)),
+            out_specs=P(TILE_AXIS),
+        )
+        def shard_render(scene, camera, key, pids, base):
+            def one_sample(accum, s):
+                k = jax.random.fold_in(key, base[0] + s)
+                return accum + integrator.render_sample(scene, camera, k, pids), None
+
+            accum, _ = jax.lax.scan(
+                one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
+                jnp.arange(per_dev_))
+            return jax.lax.psum(accum, SAMP_AXIS)
+
+        flat = shard_render(scene, camera, key, pixel_ids, samp_base)
+        return (flat[:n_pix] / (per_dev_ * n_samp)).reshape(
+            camera.height, camera.width, 3)
+
+    return run(scene, camera, key, per_dev)
+
+
 def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
                                  spp: int | None = None):
     """(loss, grads) of mean-squared pixel error w.r.t. the differentiable
@@ -175,3 +236,67 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
         return shard_step(scene, camera, key, pixel_ids, packed)
 
     return run(scene, camera, key, target, spp)
+
+
+def render_loss_and_grad_sharded_2d(scene, camera, key, target, mesh: Mesh,
+                                    spp: int | None = None):
+    """Training step on a 2-D (tile, samp) mesh: pixels shard over ``tile``,
+    samples over ``samp``; the per-device radiance partials psum over
+    ``samp`` *inside* the loss (so each device's loss term sees the full
+    sample average of its pixel tile), and loss + parameter gradients
+    psum-all-reduce over both axes. Same loss convention as
+    ``diff.image_loss`` (mean over pixels and channels)."""
+    spp = camera.spp if spp is None else spp
+    n_tile, n_samp = (mesh.devices.shape[0], mesh.devices.shape[1])
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_tile)
+    spp_padded = _pad_to(spp, n_samp)
+    per_dev = spp_padded // n_samp
+
+    @functools.partial(jax.jit, static_argnames=("per_dev_",))
+    def run(scene, camera, key, target, per_dev_: int):
+        pixel_ids = jnp.arange(n_padded, dtype=jnp.int32)
+        target_flat = jnp.concatenate(
+            [target.reshape(-1, 3),
+             jnp.zeros((n_padded - n_pix, 3), target.dtype)], axis=0)
+        valid = (jnp.arange(n_padded) < n_pix).astype(jnp.float32)
+        samp_base = (jnp.arange(n_samp, dtype=jnp.int32) * per_dev_)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(TILE_AXIS), P(TILE_AXIS), P(SAMP_AXIS)),
+            out_specs=(P(), P()),
+        )
+        def shard_step(scene, camera, key, pids, tgt_and_valid, base):
+            tgt, vmask = tgt_and_valid[:, :3], tgt_and_valid[:, 3]
+
+            def local_loss(params):
+                s = scene.replace(textures=scene.textures.replace(
+                    color0=params["color0"], color1=params["color1"]))
+
+                def one_sample(accum, samp):
+                    k = jax.random.fold_in(key, base[0] + samp)
+                    return accum + integrator.render_sample(s, camera, k, pids), None
+
+                accum, _ = jax.lax.scan(
+                    one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
+                    jnp.arange(per_dev_))
+                img = jax.lax.psum(accum, SAMP_AXIS) / (per_dev_ * n_samp)
+                sq = jnp.sum((img - tgt) ** 2, axis=-1) * vmask
+                # the samp axis replicates this tile loss; divide it back out
+                return jnp.sum(sq) / n_samp
+
+            params = {"color0": scene.textures.color0,
+                      "color1": scene.textures.color1}
+            loss, grads = jax.value_and_grad(local_loss)(params)
+            norm = 1.0 / (n_pix * 3)
+            loss = jax.lax.psum(jax.lax.psum(loss, TILE_AXIS), SAMP_AXIS) * norm
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(jax.lax.psum(g, TILE_AXIS), SAMP_AXIS)
+                * norm, grads)
+            return loss, grads
+
+        packed = jnp.concatenate([target_flat, valid[:, None]], axis=-1)
+        return shard_step(scene, camera, key, pixel_ids, packed, samp_base)
+
+    return run(scene, camera, key, target, per_dev)

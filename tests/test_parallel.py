@@ -83,3 +83,57 @@ def test_grad_step_matches_single_chip(mesh, tiny_cornell):
     g1 = np.asarray(jax.grad(f)(scene.textures.color0))
     np.testing.assert_allclose(np.asarray(grads_sh["color0"]), g1,
                                rtol=1e-4, atol=1e-7)
+
+
+@pytest.fixture(scope="module")
+def mesh2d():
+    return pm.make_mesh_2d()  # 8 devices -> (4 tile, 2 samp)
+
+
+def test_mesh2d_shape(mesh2d):
+    assert mesh2d.devices.shape == (4, 2)
+    assert mesh2d.axis_names == (pm.TILE_AXIS, pm.SAMP_AXIS)
+
+
+def test_2d_sharded_matches_single_device(mesh2d, tiny_cornell):
+    """(tile, samp) mesh: same per-(pixel, sample) streams as single chip;
+    only the sample-axis float summation order differs."""
+    scene, cam = tiny_cornell
+    ref = np.asarray(integrator.render_image(scene, cam, jax.random.key(0), spp=4))
+    sh = np.asarray(pm.render_image_sharded_2d(scene, cam, jax.random.key(0),
+                                               mesh2d, spp=4))
+    np.testing.assert_allclose(sh, ref, atol=2e-5)
+
+
+def test_2d_sharded_nonmultiple_dims(mesh2d):
+    """15x15 pixels (not /4) and spp=3 (not /2): padding on both axes.
+
+    Padded sample slots render real extra samples, so compare against the
+    single-chip render at the same padded spp."""
+    scene, cam = catalog.cornell_box(width=15, spp=3, max_depth=3)
+    ref = np.asarray(integrator.render_image(scene, cam, jax.random.key(0), spp=4))
+    sh = np.asarray(pm.render_image_sharded_2d(scene, cam, jax.random.key(0),
+                                               mesh2d, spp=3))
+    np.testing.assert_allclose(sh, ref, atol=2e-5)
+
+
+def test_2d_grad_step_matches_single_chip(mesh2d, tiny_cornell):
+    """The 2-D training step must be interchangeable with the single-chip
+    one (same loss convention, same gradients)."""
+    from cpu_ray_tracing_implementation_tpu.models import diff
+
+    scene, cam = tiny_cornell
+    target = jnp.zeros((cam.height, cam.width, 3))
+    key = jax.random.key(2)
+    loss_sh, grads_sh = pm.render_loss_and_grad_sharded_2d(
+        scene, cam, key, target, mesh2d, spp=4)
+    loss_1 = diff.image_loss(scene, cam, key, target, spp=4)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+
+    def f(c0):
+        s = scene.replace(textures=scene.textures.replace(color0=c0))
+        return diff.image_loss(s, cam, key, target, spp=4)
+
+    g1 = np.asarray(jax.grad(f)(scene.textures.color0))
+    np.testing.assert_allclose(np.asarray(grads_sh["color0"]), g1,
+                               rtol=1e-4, atol=1e-7)
