@@ -45,10 +45,36 @@ def cosine_local_dir(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _cosine_impl() -> str:
+    """Construction for cosine_dir (env CRT_COSINE, read at trace time):
+    'sphere' (default) = normalize(n + unit_sphere_dir) — Shirley's
+    lambertian construction (RTiOW §9.4): a uniform point on the unit
+    sphere about the normal tip gives an exactly cosine-weighted
+    direction, with no per-lane ONB build or basis transform (the
+    shading stage's measured hot spot); 'onb' = the reference's
+    pdf-framework construction (src/pdf.h:34-45), kept for replay of the
+    round-1/2 streams."""
+    import os
+
+    return os.environ.get("CRT_COSINE", "sphere")
+
+
 def cosine_dir(normal: jnp.ndarray, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
-    """Cosine-weighted direction about ``normal`` (src/pdf.h:34-45)."""
-    x, y, z = vm.onb_from_normal(normal)
-    return vm.onb_transform(cosine_local_dir(u1, u2), x, y, z)
+    """Cosine-weighted direction about unit ``normal`` (src/pdf.h:34-45).
+
+    Both constructions sample the identical cos(theta)/pi density
+    (statistically asserted in tests/test_sampling.py for each); they
+    differ only in which direction a given (u1, u2) maps to.
+    """
+    if _cosine_impl() == "onb":
+        x, y, z = vm.onb_from_normal(normal)
+        return vm.onb_transform(cosine_local_dir(u1, u2), x, y, z)
+    s = unit_sphere_dir(u1, u2)
+    d = normal + s
+    # s == -normal (measure-zero): fall back to the normal itself, like the
+    # reference's lambertian near_zero guard (src/material.h:66-68)
+    degenerate = (vm.length_sq(d) < 1e-12)[..., None]
+    return vm.normalize(jnp.where(degenerate, normal, d))
 
 
 def disk_sample(u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:

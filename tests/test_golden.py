@@ -22,32 +22,32 @@ import pytest
 
 from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
 
-# recorded 2026-08-17 (round 2, CRT_RNG=fast default stream)
+# recorded 2026-08-17 (round 2, CRT_RNG=fast + CRT_COSINE=sphere defaults)
 GOLDEN_MEANS = {
-    "cornell_box": 0.157958,
-    "cornell_box_with_glossy_ball": 0.308892,
-    "cornell_box_with_rotated_box": 0.534592,
-    "cornell_box_with_specular_box": 0.483291,
-    "cornell_box_with_sphere_light": 0.431985,
-    "cornell_box_with_volume": 0.483432,
-    "different_fuzz_metal": 0.327512,
+    "cornell_box": 0.160999,
+    "cornell_box_with_glossy_ball": 0.283795,
+    "cornell_box_with_rotated_box": 0.535078,
+    "cornell_box_with_specular_box": 0.488185,
+    "cornell_box_with_sphere_light": 0.427467,
+    "cornell_box_with_volume": 0.487237,
+    "different_fuzz_metal": 0.322772,
     "glass_fox": 0.611855,
-    "infinite_reflection": 0.334672,
-    "perlin_texture_ball": 0.432220,
-    "random_motion_ball": 0.421274,
-    "simple_light_earth": 0.034371,
+    "infinite_reflection": 0.335842,
+    "perlin_texture_ball": 0.418168,
+    "random_motion_ball": 0.426140,
+    "simple_light_earth": 0.037078,
     "skybox_and_fisheye": 0.633859,
-    "skybox_and_motion_blur": 0.630439,
+    "skybox_and_motion_blur": 0.630457,
     "sphereflake": 0.592463,
     # sponza: procedural colonnade substitute (Sponza.bin absent)
-    "sponza": 0.403617,
+    "sponza": 0.402695,
     "test_perlin_noise": 0.507109,
     "test_value_noise": 0.496078,
     "test_voronoi_noise": 0.462877,
     "test_worley_noise": 0.322421,
-    "textured_fox": 0.621758,
-    "three_material_ball": 0.556310,
-    "three_material_ball_with_defocus_blur": 0.609128,
+    "textured_fox": 0.620839,
+    "three_material_ball": 0.563181,
+    "three_material_ball_with_defocus_blur": 0.605853,
     "white_sphere": 1.000000,
 }
 

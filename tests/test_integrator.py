@@ -115,8 +115,10 @@ def test_mis_reduces_variance():
 
     m_mis, v_mis = var_of(scene_with(True))
     m_cos, v_cos = var_of(scene_with(False))
-    # same expectation (unbiased), much lower variance with light sampling
-    assert abs(m_mis - m_cos) < 0.2 * max(m_cos, 1e-3) + 0.05
+    # same expectation (unbiased): means agree within 4 standard errors of
+    # the (noisy) cosine-only estimate; much lower variance with MIS
+    se = float(np.sqrt(v_cos / 4096.0) + np.sqrt(v_mis / 4096.0))
+    assert abs(m_mis - m_cos) < 4.0 * se + 0.02, (m_mis, m_cos, se)
     assert v_mis < v_cos
 
 
@@ -144,7 +146,8 @@ def test_mis_reduces_variance_sphere_light():
 
     m_mis, v_mis = var_of(scene_with(True))
     m_cos, v_cos = var_of(scene_with(False))
-    assert abs(m_mis - m_cos) < 0.2 * max(m_cos, 1e-3) + 0.05
+    se = float(np.sqrt(v_cos / 4096.0) + np.sqrt(v_mis / 4096.0))
+    assert abs(m_mis - m_cos) < 4.0 * se + 0.02, (m_mis, m_cos, se)
     assert v_mis < v_cos
 
 

@@ -25,19 +25,29 @@ def test_unit_sphere_uniform():
     np.testing.assert_allclose(np.asarray(d).var(0), 1 / 3, atol=0.01)
 
 
-def test_cosine_dir_distribution():
-    """cos-weighted: E[cos theta] = 2/3, all samples in the upper hemisphere."""
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["sphere", "onb"])
+def test_cosine_dir_distribution(impl, monkeypatch):
+    """cos-weighted: E[cos theta] = 2/3, all samples in the upper hemisphere
+    — must hold for BOTH constructions (they differ only in the
+    (u1, u2) -> direction map, not the density)."""
+    monkeypatch.setenv("CRT_COSINE", impl)
     u1, u2 = _uniforms(N, 2, seed=1)
     n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3))
     d = smp.cosine_dir(n, u1, u2)
     cos_t = np.asarray(vm.dot(d, n))
     assert (cos_t >= -1e-6).all()
+    np.testing.assert_allclose(np.asarray(vm.length(d)), 1.0, atol=1e-5)
     np.testing.assert_allclose(cos_t.mean(), 2 / 3, atol=0.005)
 
 
-def test_cosine_pdf_matches_histogram():
+@pytest.mark.parametrize("impl", ["sphere", "onb"])
+def test_cosine_pdf_matches_histogram(impl, monkeypatch):
     """Monte-Carlo check that the sampler density == cosine_pdf: for samples
     X ~ p, E[f(X)/p(X)] must equal the integral of f over the hemisphere."""
+    monkeypatch.setenv("CRT_COSINE", impl)
     u1, u2 = _uniforms(N, 2, seed=2)
     n = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (N, 3))
     d = smp.cosine_dir(n, u1, u2)
@@ -45,6 +55,20 @@ def test_cosine_pdf_matches_histogram():
     # f = 1 on the hemisphere -> integral = 2 pi
     est = (1.0 / np.maximum(pdf, 1e-9)).mean()
     np.testing.assert_allclose(est, 2 * np.pi, rtol=0.02)
+
+
+def test_cosine_dir_degenerate_guard(monkeypatch):
+    """u2=1 maps the sphere point to exactly -n: the guard must return a
+    finite unit vector (the reference's near_zero fallback)."""
+    monkeypatch.setenv("CRT_COSINE", "sphere")
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    # cos_theta = 1-2*u1 = -1 at u1=1 -> s = (0,-1,0)... construct -n directly:
+    # unit_sphere_dir uses y as polar axis; pick u so s == (0,0,-1)
+    # s = (sin t cos phi, cos t, sin t sin phi); need s=(0,0,-1):
+    # cos t=0 -> u1=0.5; phi=3pi/2 -> u2=0.75
+    d = smp.cosine_dir(n, jnp.array([0.5]), jnp.array([0.75]))
+    assert np.isfinite(np.asarray(d)).all()
+    np.testing.assert_allclose(np.asarray(vm.length(d)), 1.0, atol=1e-5)
 
 
 def test_sphere_pdf_value():
