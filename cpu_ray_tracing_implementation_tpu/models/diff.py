@@ -71,18 +71,24 @@ def apply_camera_params(camera, params: dict):
 @functools.partial(jax.jit, static_argnames=("spp",))
 def image_loss(scene, camera, key, target, spp: int):
     """Mean squared pixel error of an spp-sample render against ``target``."""
-    img = integrator.render_image(scene, camera, key, spp=spp)
+    img = integrator.render_image(scene, camera, key, spp=spp,
+                                  unroll=(1, 1))
     return jnp.mean((img - target) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("spp",))
-def loss_and_grads(scene, camera, key, target, spp: int):
-    """(loss, (scene_param_grads, camera_param_grads))."""
+@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+def loss_and_grads(scene, camera, key, target, spp: int,
+                   unroll: tuple = (1, 1)):
+    """(loss, (scene_param_grads, camera_param_grads)).
+
+    ``unroll``: (bounce, spp) scan unroll for the differentiated render —
+    default (1, 1); larger bounce factors crash the TPU compiler's fusion
+    pass under grad-of-checkpoint (integrator UNROLL note)."""
 
     def f(sp, cp):
         s = apply_scene_params(scene, sp)
         c = apply_camera_params(camera, cp)
-        img = integrator.render_image(s, c, key, spp=spp)
+        img = integrator.render_image(s, c, key, spp=spp, unroll=unroll)
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(f, argnums=(0, 1))(
@@ -104,7 +110,8 @@ def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
     def step(params, k, spp_):
         def f(p):
             s = apply_scene_params(scene, p)
-            img = integrator.render_image(s, camera, k, spp=spp_)
+            img = integrator.render_image(s, camera, k, spp=spp_,
+                                          unroll=(1, 1))
             return jnp.mean((img - target) ** 2)
 
         return jax.value_and_grad(f)(params)

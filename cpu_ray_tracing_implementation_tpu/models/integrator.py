@@ -103,7 +103,7 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
 
 
 def render_rays(scene, org, dirs, time, key, max_depth: int,
-                ray_ids=None, uniforms=None) -> jnp.ndarray:
+                ray_ids=None, uniforms=None, unroll: int = 1) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -111,6 +111,7 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     ``uniforms``: optional precomputed [max_depth, R, NSLOT+V] block (used by
     the parity tests to replay the exact stream into a NumPy oracle);
     normally drawn per bounce from ``key``.
+    ``unroll``: bounce-scan unroll factor (see UNROLL below).
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -139,11 +140,29 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         jnp.ones((n_rays,), bool),
     )
     xs = jnp.arange(max_depth) if uniforms is None else uniforms
-    (_, _, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs)
+    (_, _, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs,
+                                                unroll=unroll)
     return radiance
 
 
-def render_sample(scene, camera, key, pixel_ids) -> jnp.ndarray:
+# UNROLL: forward-only renders unroll the bounce scan (factor 8) and the
+# sample scan (factor 2) — scan semantics (and therefore the sampled
+# streams) are unchanged, but XLA fuses across iterations instead of
+# paying the while-loop per-iteration overhead: slope-measured +22%
+# forward on the Cornell bench workload. The DIFFERENTIATED path keeps
+# unroll=1: grad-of-unrolled-scan under jax.checkpoint crashes the TPU
+# compiler's priority-fusion pass (SIGILL in TpuPriorityFusionQueue,
+# observed 2026-08-17), and the remat backward re-runs the forward inside
+# the VJP anyway. Override with CRT_UNROLL="bounces,spp".
+def _default_unroll() -> tuple:
+    import os
+
+    v = os.environ.get("CRT_UNROLL", "8,2")
+    b, s = v.split(",")
+    return max(int(b), 1), max(int(s), 1)
+
+
+def render_sample(scene, camera, key, pixel_ids, unroll: int = 1) -> jnp.ndarray:
     """One sample of every pixel in ``pixel_ids``: raygen + integrate.
 
     All randomness is keyed by pixel id, so any partition of the pixel set
@@ -153,15 +172,19 @@ def render_sample(scene, camera, key, pixel_ids) -> jnp.ndarray:
     u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
     return render_rays(scene, org, dirs, time, k_path, camera.max_depth,
-                       ray_ids=pixel_ids)
+                       ray_ids=pixel_ids, unroll=unroll)
 
 
-@functools.partial(jax.jit, static_argnames=("spp",))
-def accumulate_samples(scene, camera, key, sample_offset, spp: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+def accumulate_samples(scene, camera, key, sample_offset, spp: int,
+                       unroll: tuple = (1, 1)) -> jnp.ndarray:
     """Radiance SUM over samples [sample_offset, sample_offset+spp) for all
     pixels, flat [H*W, 3]. Sample index (not position in this batch) keys the
     RNG, so any partition of the sample range — across checkpoint chunks or
     across chips — accumulates to the identical image.
+
+    ``unroll``: (bounce, spp) scan unroll factors — (1, 1) when this is
+    differentiated (see UNROLL note above).
     """
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
@@ -170,14 +193,15 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int) -> jnp.ndarr
     # instead of storing 256 samples x depth bounces of [R,...] residuals —
     # the standard jax.checkpoint FLOPs-for-HBM trade
     sample_fn = jax.checkpoint(
-        lambda k: render_sample(scene, camera, k, pixel_ids))
+        lambda k: render_sample(scene, camera, k, pixel_ids,
+                                unroll=unroll[0]))
 
     def one_sample(accum, s):
         k = jax.random.fold_in(key, sample_offset + s)
         return accum + sample_fn(k), None
 
     accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
-                            jnp.arange(spp))
+                            jnp.arange(spp), unroll=unroll[1])
     return accum
 
 
@@ -318,13 +342,19 @@ def render_image_wavefront(scene, camera, key, spp: int | None = None):
     return (accum / spp).reshape(camera.height, camera.width, 3)
 
 
-def render_image(scene, camera, key, spp: int | None = None) -> jnp.ndarray:
+def render_image(scene, camera, key, spp: int | None = None,
+                 unroll: tuple | None = None) -> jnp.ndarray:
     """Full image [H,W,3] (linear radiance, pre-gamma).
 
     The sample loop is a ``lax.scan`` (one full-frame wavefront per sample)
     — the TPU replacement for the reference's per-pixel sample loop
     (src/camera.h:163-171). spp defaults to camera.spp.
+
+    ``unroll`` defaults to the forward-tuned factors (UNROLL note above);
+    gradient callers (models/diff.py) pass (1, 1) — pass that yourself if
+    you differentiate through this function on TPU.
     """
     spp = camera.spp if spp is None else spp
-    accum = accumulate_samples(scene, camera, key, 0, spp)
+    unroll = _default_unroll() if unroll is None else unroll
+    accum = accumulate_samples(scene, camera, key, 0, spp, unroll=unroll)
     return (accum / spp).reshape(camera.height, camera.width, 3)

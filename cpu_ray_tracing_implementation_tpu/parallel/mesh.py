@@ -79,13 +79,16 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
             out_specs=P(AXIS),
         )
         def shard_render(scene, camera, key, pids):
+            bu, su = integrator._default_unroll()
+
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, s)
-                return accum + integrator.render_sample(scene, camera, k, pids), None
+                return accum + integrator.render_sample(scene, camera, k, pids,
+                                                        unroll=bu), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
-                jnp.arange(spp_))
+                jnp.arange(spp_), unroll=su)
             return accum / spp_
 
         flat = shard_render(scene, camera, key, pixel_ids)
@@ -115,14 +118,16 @@ def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = N
         )
         def shard_render(scene, camera, key, pids, dev_id):
             base = dev_id[0] * per_dev_
+            bu, su = integrator._default_unroll()
 
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base + s)
-                return accum + integrator.render_sample(scene, camera, k, pids), None
+                return accum + integrator.render_sample(scene, camera, k, pids,
+                                                        unroll=bu), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
-                jnp.arange(per_dev_))
+                jnp.arange(per_dev_), unroll=su)
             return jax.lax.psum(accum, AXIS)
 
         flat = shard_render(scene, camera, key, pixel_ids, dev_ids)
@@ -158,13 +163,16 @@ def render_image_sharded_2d(scene, camera, key, mesh: Mesh,
             out_specs=P(TILE_AXIS),
         )
         def shard_render(scene, camera, key, pids, base):
+            bu, su = integrator._default_unroll()
+
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base[0] + s)
-                return accum + integrator.render_sample(scene, camera, k, pids), None
+                return accum + integrator.render_sample(scene, camera, k, pids,
+                                                        unroll=bu), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
-                jnp.arange(per_dev_))
+                jnp.arange(per_dev_), unroll=su)
             return jax.lax.psum(accum, SAMP_AXIS)
 
         flat = shard_render(scene, camera, key, pixel_ids, samp_base)
