@@ -162,14 +162,18 @@ def _default_unroll() -> tuple:
     return max(int(b), 1), max(int(s), 1)
 
 
-def render_sample(scene, camera, key, pixel_ids, unroll: int = 1) -> jnp.ndarray:
+def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
+                  sample_idx=None) -> jnp.ndarray:
     """One sample of every pixel in ``pixel_ids``: raygen + integrate.
 
     All randomness is keyed by pixel id, so any partition of the pixel set
     (tiles across chips, chunks across steps) produces identical samples.
+    ``sample_idx``: absolute sample index; enables stratified pixel jitter
+    when camera.stratify is set (camera.stratify_pixel_jitter).
     """
     k_cam, k_path = jax.random.split(key)
     u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
+    u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
     return render_rays(scene, org, dirs, time, k_path, camera.max_depth,
                        ray_ids=pixel_ids, unroll=unroll)
@@ -193,12 +197,13 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int,
     # instead of storing 256 samples x depth bounces of [R,...] residuals —
     # the standard jax.checkpoint FLOPs-for-HBM trade
     sample_fn = jax.checkpoint(
-        lambda k: render_sample(scene, camera, k, pixel_ids,
-                                unroll=unroll[0]))
+        lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
+                                       unroll=unroll[0], sample_idx=s_abs))
 
     def one_sample(accum, s):
-        k = jax.random.fold_in(key, sample_offset + s)
-        return accum + sample_fn(k), None
+        s_abs = sample_offset + s
+        k = jax.random.fold_in(key, s_abs)
+        return accum + sample_fn(k, s_abs), None
 
     accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
                             jnp.arange(spp), unroll=unroll[1])
@@ -274,6 +279,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             k_cam, _ = path_keys(path_id)
             cam_keys = jax.vmap(jax.random.fold_in)(k_cam, pix)
             u_cam = _lane_uniforms(cam_keys, cam_mod.N_CAM_SLOTS)
+        # per-lane absolute sample index == the classic loop's scalar one
+        u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, path_id // n_pix)
         org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
         if scene.world_offset is not None:
             org = org - scene.world_offset[None, :]

@@ -35,8 +35,9 @@ Two schedules exist (env CRT_PACKET, measured in tools/packet_stats.py):
  - ``lockstep``: ONE ``while_loop``, all tiles step together — trips =
    MAX per-tile visits, each trip [G,T,C] work (finished tiles ride along
    masked). Fewer, bigger dispatches; loses bounce-level skew (measured
-   66 s vs 5.4 s on colonnade 200px 30spp) but wins when visits are
-   uniform. Kept for uniform-visit scenes and as the comparison baseline.
+   ~16.5 s vs ~1.35 s PER SAMPLE on colonnade 200px; the 30spp frame is
+   ~66 s vs ~5.4 s at spp=4) but wins when visits are uniform. Kept for
+   uniform-visit scenes and as the comparison baseline.
 
 Differentiability: forward-only + custom VJP running the XLA chunk scan
 backward (same pattern as ops/pallas_intersect.py).

@@ -84,7 +84,8 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
-                                                        unroll=bu), None
+                                                        unroll=bu,
+                                                        sample_idx=s), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -123,7 +124,8 @@ def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = N
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base + s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
-                                                        unroll=bu), None
+                                                        unroll=bu,
+                                                        sample_idx=base + s), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -168,7 +170,8 @@ def render_image_sharded_2d(scene, camera, key, mesh: Mesh,
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base[0] + s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
-                                                        unroll=bu), None
+                                                        unroll=bu,
+                                                        sample_idx=base[0] + s), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -220,7 +223,8 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
 
                 def one_sample(accum, samp):
                     k = jax.random.fold_in(key, samp)
-                    return accum + integrator.render_sample(s, camera, k, pids), None
+                    return accum + integrator.render_sample(
+                        s, camera, k, pids, sample_idx=samp), None
 
                 accum, _ = jax.lax.scan(
                     one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -284,7 +288,8 @@ def render_loss_and_grad_sharded_2d(scene, camera, key, target, mesh: Mesh,
 
                 def one_sample(accum, samp):
                     k = jax.random.fold_in(key, base[0] + samp)
-                    return accum + integrator.render_sample(s, camera, k, pids), None
+                    return accum + integrator.render_sample(
+                        s, camera, k, pids, sample_idx=base[0] + samp), None
 
                 accum, _ = jax.lax.scan(
                     one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
