@@ -42,12 +42,26 @@ class Hit:
 
 
 def accel_mode() -> str:
-    """Large-table accelerator choice (env CRT_ACCEL): ``auto`` (= packet,
-    the measured-fastest TPU path), ``packet``, ``bvh`` (per-ray traversal),
-    ``pallas`` (fused chunk kernel), ``chunked`` (pure XLA scan oracle)."""
+    """Large-table accelerator choice (env CRT_ACCEL): ``auto`` picks per
+    table size (see _auto_mode), ``ray`` (per-ray visit lists —
+    ops/perray.py), ``packet`` (tile-packet culling), ``bvh`` (per-ray
+    node traversal oracle), ``pallas`` (fused chunk kernel), ``chunked``
+    (pure XLA scan oracle)."""
     import os
 
     return os.environ.get("CRT_ACCEL", "auto")
+
+
+# auto: tables with at least this many chunks route to the per-ray accel.
+# Measured (v5e, tools/bench_accel.py): 2015-chunk colonnade 1.9x faster
+# per-ray (tile unions visit 20-60x a single ray's chunks once bounces
+# diverge); 58-chunk sphereflake 2.6x faster on packet (coherent tiles
+# share chunk loads; the per-ray gather re-reads rows per lane).
+RAY_MIN_CHUNKS = 256
+
+
+def _auto_mode(n_chunks: int) -> str:
+    return "ray" if n_chunks >= RAY_MIN_CHUNKS else "packet"
 
 
 def _safe_div(num, den, fallback):
@@ -340,6 +354,13 @@ def _sort_wanted(scene, n_rays: int) -> bool:
     kmax = max(ks, default=0)
     if mode == "on":
         return kmax > 0
+    accel = accel_mode()
+    if accel == "auto":
+        accel = _auto_mode(kmax)
+    if accel == "ray":
+        # per-ray visit lists don't share traversal across a tile, so
+        # coherence-sorting the batch buys nothing on the ray accel
+        return False
     from cpu_ray_tracing_implementation_tpu.ops import raysort
 
     return kmax >= raysort.MIN_CHUNKS and n_rays >= raysort.MIN_RAYS
@@ -444,7 +465,14 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
         mode = accel_mode()
-        if mode in ("auto", "packet"):
+        if mode == "auto":
+            mode = _auto_mode(scene.sphere_chunks.rad.shape[0])
+        if mode == "ray":
+            from cpu_ray_tracing_implementation_tpu.ops import perray
+            t_s, sph_payload = perray.sphere_closest_ray(
+                org, dirs, time, scene.sphere_chunks, tmin,
+                _packet_cap(scene, org, dirs, active, tmax, tmin))
+        elif mode == "packet":
             t_s, sph_payload = pkt.sphere_closest_accel(
                 org, dirs, time, scene.sphere_chunks, tmin,
                 _packet_cap(scene, org, dirs, active, tmax, tmin))
@@ -473,7 +501,14 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
         from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
         mode = accel_mode()
-        if mode in ("auto", "packet"):
+        if mode == "auto":
+            mode = _auto_mode(chs.corner.shape[0])
+        if mode == "ray":
+            from cpu_ray_tracing_implementation_tpu.ops import perray
+            return perray.planar_closest_ray(
+                org, dirs, chs, tmin, tri_flag,
+                _packet_cap(scene, org, dirs, active, tmax, tmin))
+        if mode == "packet":
             return pkt.planar_closest_accel(
                 org, dirs, chs, tmin, tri_flag,
                 _packet_cap(scene, org, dirs, active, tmax, tmin))

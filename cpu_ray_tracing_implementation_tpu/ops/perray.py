@@ -1,0 +1,374 @@
+"""Per-ray visit-list closest-hit: BVH-grade pruning in TPU-native form.
+
+The tile-packet accelerator (ops/packet.py) shares one front-to-back visit
+list per 2048-ray tile. Measured on the 258k-tri colonnade
+(tools/packet_stats.py, one v5e chip): a single ray's [tmin, cap] interval
+crosses only ~16 of the 2015 chunk AABBs (p90 31), and only ~12 lie before
+its closest hit — but a TILE's union is 220-900 chunks once bounces
+diverge, so every ray pays 20-60x the chunk visits it needs. This module
+gives each ray its own visit list, which is what the reference's per-ray
+BVH descent (src/bvh_node.h:49-58) achieves with a pointer stack — done
+here with three TPU-shaped passes, no pointer chasing:
+
+ 1. CULL: [R,K] slab test of every ray against every chunk AABB, computed
+    per-axis on [R,K] planes (structure-of-arrays — a [R,K,3] layout pads
+    the minor dim 3 to 128 lanes and moves 40+ GB; measured 7.6 s vs
+    ~30 ms for the SoA form).
+ 2. SELECT: each ray's V nearest crossed chunks, ascending entry t, by V
+    rounds of (min, argmin, mask) over the [R,K] near matrix — batched
+    vector reductions, not a sort (jax.lax.top_k measured 289 ms for what
+    this does in ~45 ms at V=32).
+ 3. SWEEP: a while_loop over visit slots; slot s gathers each ray's s-th
+    chunk row from a fused [K, F*C] component table (one XLA row gather,
+    ~5.6 KB/row — measured ~140+ GB/s when pipelined in a loop) and runs
+    the [R,C] intersection test with the running per-ray t_best as tmax.
+    Early exit: a slot where no ray's next entry t beats its t_best ends
+    the sweep — the same front-to-back pruning as the reference's
+    right-subtree interval clamp.
+
+EXACTNESS: a ray needing more than V visits (closest hit not found among
+its V nearest chunks) is handled by an outer while_loop that re-selects
+the next V nearest from the remaining [R,K] matrix until no ray's nearest
+unvisited chunk can beat its best hit. Result == the chunk-scan oracle
+(ops/chunked.py) for every ray, independent of V.
+
+Differentiability: forward-only + custom VJP running the XLA chunk scan
+backward (same pattern as ops/packet.py / ops/pallas_intersect.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from cpu_ray_tracing_implementation_tpu.ops import chunked as ch
+from cpu_ray_tracing_implementation_tpu.ops import tables as tbl
+
+INF = jnp.inf
+
+
+def _visit_block() -> int:
+    """Visit slots selected per phase (env CRT_RAYV). Colonnade per-ray
+    culled counts: mean 16 / p90 31 / max 135 — 32 covers ~p90 in one
+    phase; the exactness loop covers the tail."""
+    import os
+
+    return int(os.environ.get("CRT_RAYV", "32"))
+
+
+# ------------------------------------------------------------------ cull
+def _near_matrix(org, dirs, lo, hi, tmin, cap):
+    """[R,K] entry t of each ray into each chunk AABB; +inf where the ray's
+    [tmin, cap] interval misses the box. SoA per axis — no [...,3] arrays."""
+    R, K = org.shape[0], lo.shape[0]
+    near = jnp.full((R, K), -INF, org.dtype)
+    far = jnp.full((R, K), INF, org.dtype)
+    for a in range(3):
+        d = dirs[:, a]
+        inv = 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
+        t0 = (lo[:, a][None, :] - org[:, a, None]) * inv[:, None]
+        t1 = (hi[:, a][None, :] - org[:, a, None]) * inv[:, None]
+        near = jnp.maximum(near, jnp.minimum(t0, t1))
+        far = jnp.minimum(far, jnp.maximum(t0, t1))
+    ok = (near <= far) & (far >= tmin) & (near <= cap[:, None])
+    return jnp.where(ok, jnp.maximum(near, tmin), INF)
+
+
+# --------------------------------------------------------------- select
+def _select_block(nr, V):
+    """(ids [R,V], nears [R,V] ascending, nr') — each ray's V nearest
+    remaining chunks, masked out of the returned nr'."""
+    K = nr.shape[1]
+    col = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+    def step(nr, _):
+        m = jnp.min(nr, axis=1)
+        a = jnp.argmin(nr, axis=1).astype(jnp.int32)
+        nr = jnp.where(col == a[:, None], INF, nr)
+        return nr, (a, m)
+
+    nr, (ids, nears) = jax.lax.scan(step, nr, None, length=V)
+    return ids.T, nears.T, nr
+
+
+# ---------------------------------------------------------------- sweeps
+def _comp(row, i, C):
+    return jax.lax.dynamic_slice_in_dim(row, i * C, C, axis=1)
+
+
+def _dot3(ax, ay, az, b):
+    """[R,C] dot of per-ray-chunk component vectors with a [R,3] vector."""
+    return ax * b[:, 0, None] + ay * b[:, 1, None] + az * b[:, 2, None]
+
+
+def _cross3(ax, ay, az, bx, by, bz):
+    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+
+
+def _planar_table(chunks: ch.PlanarChunks):
+    """[K, 11*C] fused rows: corner/eu/ev components, mat, active."""
+    K, C = chunks.corner.shape[0], chunks.corner.shape[1]
+    f32 = chunks.corner.dtype
+    comps = [chunks.corner[..., a] for a in range(3)]
+    comps += [chunks.eu[..., a] for a in range(3)]
+    comps += [chunks.ev[..., a] for a in range(3)]
+    comps += [chunks.mat.astype(f32), chunks.active.astype(f32)]
+    return jnp.concatenate(comps, axis=1)
+
+
+def _planar_row_ts(org, dirs, row, C, tmin, t_best, triangle):
+    """[R,C] candidate ts for each ray against ITS gathered chunk row —
+    the per-ray-chunk form of ops.chunked._planar_chunk_ts (same guards,
+    sentinels, and interior tests; elementwise instead of einsum)."""
+    cx, cy, cz = (_comp(row, i, C) for i in range(3))
+    eux, euy, euz = (_comp(row, i, C) for i in range(3, 6))
+    evx, evy, evz = (_comp(row, i, C) for i in range(6, 9))
+    matf = _comp(row, 9, C)
+    active = _comp(row, 10, C) > 0.5
+
+    nx, ny, nz = _cross3(eux, euy, euz, evx, evy, evz)
+    nn = nx * nx + ny * ny + nz * nz
+    inv_len = jax.lax.rsqrt(jnp.maximum(nn, 1e-30))
+    unx, uny, unz = nx * inv_len, ny * inv_len, nz * inv_len
+    d_plane = unx * cx + uny * cy + unz * cz
+    inv_nn = 1.0 / jnp.maximum(nn, 1e-20)
+    wx, wy, wz = nx * inv_nn, ny * inv_nn, nz * inv_nn
+    ewx, ewy, ewz = _cross3(evx, evy, evz, wx, wy, wz)       # evw
+    wex, wey, wez = _cross3(wx, wy, wz, eux, euy, euz)       # weu
+
+    o_n = _dot3(unx, uny, unz, org)
+    d_n = _dot3(unx, uny, unz, dirs)
+    ok0 = jnp.abs(d_n) > 1e-20
+    t = jnp.where(ok0, (d_plane - o_n) / jnp.where(ok0, d_n, 1.0), 1e30)
+
+    a = jnp.clip(_dot3(ewx, ewy, ewz, org) + t * _dot3(ewx, ewy, ewz, dirs)
+                 - (ewx * cx + ewy * cy + ewz * cz), -1e30, 1e30)
+    b = jnp.clip(_dot3(wex, wey, wez, org) + t * _dot3(wex, wey, wez, dirs)
+                 - (wex * cx + wey * cy + wez * cz), -1e30, 1e30)
+    if triangle:
+        interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+    else:
+        interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    ok = ok0 & (t >= tmin) & (t <= t_best[:, None]) & interior & active
+    return jnp.where(ok, t, INF), a, b, (unx, uny, unz), matf
+
+
+def _planar_sweep(org, dirs, table, C, ids, nears, tmin, triangle, best):
+    """Visit each ray's slot-s chunk while any ray's next entry t can beat
+    its best; gathers rows per slot and tightens t_best front-to-back."""
+    V = ids.shape[1]
+
+    def cond(state):
+        s = state[0]
+        t_best = state[1]
+        ns = jax.lax.dynamic_slice_in_dim(nears, s, 1, axis=1)[:, 0]
+        return (s < V) & jnp.any(ns < t_best)
+
+    def body(state):
+        s, t_best, n_b, u_b, v_b, m_b, p_b = state
+        ids_s = jax.lax.dynamic_slice_in_dim(ids, s, 1, axis=1)[:, 0]
+        row = table[ids_s]                                   # [R, 11C]
+        ts, a, b, (unx, uny, unz), matf = _planar_row_ts(
+            org, dirs, row, C, tmin, t_best, triangle)
+        t_c = jnp.min(ts, axis=-1)
+        idx = jnp.argmin(ts, axis=-1)
+        oh = tbl.onehot(idx, C)
+        better = t_c < t_best
+        sel = lambda comp: jnp.sum(oh * comp, axis=-1)
+        n_c = jnp.stack([sel(unx), sel(uny), sel(unz)], axis=-1)
+        m_c = jnp.round(sel(matf)).astype(jnp.int32)
+        return (s + 1,
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], n_c, n_b),
+                jnp.where(better, sel(a), u_b),
+                jnp.where(better, sel(b), v_b),
+                jnp.where(better, m_c, m_b),
+                jnp.where(better, ids_s * C + idx, p_b))
+
+    state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
+    return state[1:]
+
+
+def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
+                          triangle: bool, tmax=INF):
+    """Drop-in for ops.chunked.planar_closest (forward only; exact).
+
+    ``tmax``: scalar or per-ray [R] traversal cap (see _near_matrix).
+    Returns (t [R], (unorm [R,3], u [R], v [R], mat [R], pid [R]))."""
+    R = org.shape[0]
+    f32 = org.dtype
+    K, C = chunks.corner.shape[0], chunks.corner.shape[1]
+    V = min(_visit_block(), K)
+    cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
+    table = _planar_table(chunks)
+    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
+
+    t_init = cap
+    best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
+             jnp.zeros((R,), f32), jnp.zeros((R,), jnp.int32),
+             jnp.zeros((R,), jnp.int32))
+
+    def cond(state):
+        nr, best = state[0], state[1:]
+        return jnp.any(jnp.min(nr, axis=1) < best[0])
+
+    def body(state):
+        nr, best = state[0], state[1:]
+        ids, nears, nr = _select_block(nr, V)
+        best = _planar_sweep(org, dirs, table, C, ids, nears, tmin,
+                             triangle, best)
+        return (nr,) + best
+
+    out = jax.lax.while_loop(cond, body, (nr,) + best0)
+    t, n, u, v, m, p = out[1:]
+    return jnp.where(t < t_init, t, INF), (n, u, v, m, p)
+
+
+def _sphere_table(chunks: ch.SphereChunks):
+    """[K, 9*C] fused rows: c0/c1 components, rad, mat, active."""
+    f32 = chunks.c0.dtype
+    comps = [chunks.c0[..., a] for a in range(3)]
+    comps += [chunks.c1[..., a] for a in range(3)]
+    comps += [chunks.rad, chunks.mat.astype(f32), chunks.active.astype(f32)]
+    return jnp.concatenate(comps, axis=1)
+
+
+def _sphere_row_ts(org, dirs, time, row, C, tmin, t_best):
+    """[R,C] sphere ts per gathered row — mirrors _sphere_chunk_ts."""
+    c0x, c0y, c0z = (_comp(row, i, C) for i in range(3))
+    c1x, c1y, c1z = (_comp(row, i, C) for i in range(3, 6))
+    rad = _comp(row, 6, C)
+    active = _comp(row, 8, C) > 0.5
+    tt = time[:, None]
+    ctx = c0x + tt * (c1x - c0x)
+    cty = c0y + tt * (c1y - c0y)
+    ctz = c0z + tt * (c1z - c0z)
+
+    # oc = org - center(t); standard quadratic (src/sphere.h:40-74 form)
+    ocx = org[:, 0, None] - ctx
+    ocy = org[:, 1, None] - cty
+    ocz = org[:, 2, None] - ctz
+    a = (dirs * dirs).sum(-1)[:, None]
+    b = 2.0 * (dirs[:, 0, None] * ocx + dirs[:, 1, None] * ocy
+               + dirs[:, 2, None] * ocz)
+    c = ocx * ocx + ocy * ocy + ocz * ocz - rad * rad
+    disc = b * b - 4.0 * a * c
+    has = disc > 0.0
+    sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+    t0 = (-b - sq) / (2.0 * a)
+    t1 = (-b + sq) / (2.0 * a)
+    in0 = (t0 >= tmin) & (t0 <= t_best[:, None])
+    in1 = (t1 >= tmin) & (t1 <= t_best[:, None])
+    t = jnp.where(in0, t0, jnp.where(in1, t1, INF))
+    ts = jnp.where(has & active, t, INF)
+    return ts, (ctx, cty, ctz), rad, _comp(row, 7, C)
+
+
+def _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin, best):
+    V = ids.shape[1]
+
+    def cond(state):
+        s, t_best = state[0], state[1]
+        ns = jax.lax.dynamic_slice_in_dim(nears, s, 1, axis=1)[:, 0]
+        return (s < V) & jnp.any(ns < t_best)
+
+    def body(state):
+        s, t_best, ctr_b, rad_b, m_b = state
+        ids_s = jax.lax.dynamic_slice_in_dim(ids, s, 1, axis=1)[:, 0]
+        row = table[ids_s]
+        ts, (ctx, cty, ctz), rad, matf = _sphere_row_ts(
+            org, dirs, time, row, C, tmin, t_best)
+        t_c = jnp.min(ts, axis=-1)
+        idx = jnp.argmin(ts, axis=-1)
+        oh = tbl.onehot(idx, C)
+        better = t_c < t_best
+        sel = lambda comp: jnp.sum(oh * comp, axis=-1)
+        ctr_c = jnp.stack([sel(ctx), sel(cty), sel(ctz)], axis=-1)
+        return (s + 1,
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], ctr_c, ctr_b),
+                jnp.where(better, jnp.maximum(sel(rad), 1e-20), rad_b),
+                jnp.where(better, jnp.round(sel(matf)).astype(jnp.int32), m_b))
+
+    state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
+    return state[1:]
+
+
+def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
+                          tmax=INF):
+    """Drop-in for ops.chunked.sphere_closest (forward only; exact).
+    Returns (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
+    R = org.shape[0]
+    f32 = org.dtype
+    K, C = chunks.rad.shape
+    V = min(_visit_block(), K)
+    cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
+    table = _sphere_table(chunks)
+    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
+
+    t_init = cap
+    best0 = (t_init, jnp.zeros((R, 3), f32), jnp.ones((R,), f32),
+             jnp.zeros((R,), jnp.int32))
+
+    def cond(state):
+        nr, best = state[0], state[1:]
+        return jnp.any(jnp.min(nr, axis=1) < best[0])
+
+    def body(state):
+        nr, best = state[0], state[1:]
+        ids, nears, nr = _select_block(nr, V)
+        best = _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin,
+                             best)
+        return (nr,) + best
+
+    out = jax.lax.while_loop(cond, body, (nr,) + best0)
+    t, ctr, rad, m = out[1:]
+    return jnp.where(t < t_init, t, INF), (ctr, rad, m)
+
+
+# ------------------------------------------------------------- autodiff glue
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def planar_closest_ray(org, dirs, chunks, tmin, triangle, tmax=INF):
+    """Per-ray-visit-list forward + XLA chunk-scan backward (the same
+    split as ops.packet.planar_closest_accel)."""
+    return planar_closest_perray(org, dirs, chunks, tmin, triangle, tmax=tmax)
+
+
+def _planar_fwd(org, dirs, chunks, tmin, triangle, tmax):
+    out = planar_closest_perray(org, dirs, chunks, tmin, triangle, tmax=tmax)
+    return out, (org, dirs, chunks, tmax)
+
+
+def _planar_bwd(tmin, triangle, res, ct):
+    org, dirs, chunks, tmax = res
+    _, vjp = jax.vjp(
+        lambda o, d, c: ch.planar_closest(o, d, c, tmin, triangle, tmax=tmax),
+        org, dirs, chunks)
+    return vjp(ct) + (jnp.zeros_like(tmax),)
+
+
+planar_closest_ray.defvjp(_planar_fwd, _planar_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sphere_closest_ray(org, dirs, time, chunks, tmin, tmax=INF):
+    """Per-ray-visit-list forward + XLA chunk-scan backward."""
+    return sphere_closest_perray(org, dirs, time, chunks, tmin, tmax=tmax)
+
+
+def _sphere_fwd(org, dirs, time, chunks, tmin, tmax):
+    out = sphere_closest_perray(org, dirs, time, chunks, tmin, tmax=tmax)
+    return out, (org, dirs, time, chunks, tmax)
+
+
+def _sphere_bwd(tmin, res, ct):
+    org, dirs, time, chunks, tmax = res
+    _, vjp = jax.vjp(
+        lambda o, d, tm, c: ch.sphere_closest(o, d, tm, c, tmin, tmax=tmax),
+        org, dirs, time, chunks)
+    return vjp(ct) + (jnp.zeros_like(tmax),)
+
+
+sphere_closest_ray.defvjp(_sphere_fwd, _sphere_bwd)
