@@ -20,14 +20,20 @@ import pytest  # noqa: E402
 if os.environ.get("CRT_TPU_TESTS") == "1":
     # chip mode: leave the default (TPU) backend so tests/test_pallas_tpu.py
     # exercises the compiled Mosaic kernels (run that file alone — the rest
-    # of the suite is sized for the 8-device CPU mesh)
-    pass
+    # of the suite is sized for the 8-device CPU mesh). The persistent
+    # compile cache is safe for TPU executables.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 else:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: the suite is compile-dominated otherwise
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # NO persistent compile cache on the CPU backend: XLA:CPU's AOT
+    # executable (de)serialization does not round-trip host machine
+    # features in this jaxlib (cpu_aot_loader warns "+prefer-no-gather is
+    # not supported on the host machine ... could lead to execution errors
+    # such as SIGILL") and large cached 8-device executables intermittently
+    # segfault on cache read / abort on cache write. Compile-time cost of
+    # a cold suite is the price of not crashing.
 
 
 @pytest.fixture(scope="session")
