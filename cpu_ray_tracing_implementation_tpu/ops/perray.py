@@ -51,11 +51,13 @@ INF = jnp.inf
 
 def _visit_block() -> int:
     """Visit slots selected per phase (env CRT_RAYV). Colonnade per-ray
-    culled counts: mean 16 / p90 31 / max 135 — 32 covers ~p90 in one
-    phase; the exactness loop covers the tail."""
+    culled counts: mean 16 / p90 31 / max 135. Measured on the colonnade
+    render (v5e): V=16 17.7 s, V=32 20.7 s, V=48 19.0 s — small blocks
+    win because most rays find their hit in ~12 visits and the exactness
+    loop re-selects only while some ray still needs more."""
     import os
 
-    return int(os.environ.get("CRT_RAYV", "32"))
+    return int(os.environ.get("CRT_RAYV", "16"))
 
 
 # ------------------------------------------------------------------ cull
@@ -91,6 +93,56 @@ def _select_block(nr, V):
 
     nr, (ids, nears) = jax.lax.scan(step, nr, None, length=V)
     return ids.T, nears.T, nr
+
+
+def _use_pallas_select(tmin) -> bool:
+    """Fused Pallas cull+select (ops/pallas_select.py) replaces the XLA
+    near-matrix + selection rounds on TPU backends. Requires a static
+    tmin (always the case: callers pass the T_MIN literal)."""
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+    return pk.use_pallas() and not isinstance(tmin, jax.core.Tracer)
+
+
+def _pallas_phase_loop(org, dirs, cap, lo, hi, tmin, V, sweep_fn, best0):
+    """Exactness phase loop with the fused kernel: phases carry only the
+    (threshold, last id) exclusion key — the [R,K] near matrix never
+    leaves VMEM (see pallas_select.py phase semantics)."""
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_select as ps
+
+    R = org.shape[0]
+    boxes = ps.pack_boxes(lo, hi)
+    rays, Rp = ps.pad_rays(ps.pack_rays(org, dirs, cap), boxes.shape[1])
+
+    K_real = lo.shape[0]
+
+    def phase(excl):
+        ids, nears, rest = ps.cull_select(rays, boxes, excl, V, K_real,
+                                          float(tmin))
+        return ids, nears, rest[:R, 0]
+
+    excl0 = jnp.concatenate(
+        [jnp.full((Rp, 1), -1e30, jnp.float32),
+         jnp.full((Rp, 1), -1.0, jnp.float32)], axis=1)
+    ids, nears, rest = phase(excl0)
+    best = sweep_fn(ids[:R], nears[:R], best0)
+    excl = jnp.stack([nears[:, V - 1], ids[:, V - 1].astype(jnp.float32)],
+                     axis=1)
+
+    def cond(state):
+        excl, rest, best = state[0], state[1], state[2:]
+        return jnp.any(rest < best[0])
+
+    def body(state):
+        excl, _, best = state[0], state[1], state[2:]
+        ids, nears, rest = phase(excl)
+        best = sweep_fn(ids[:R], nears[:R], best)
+        excl = jnp.stack([nears[:, V - 1], ids[:, V - 1].astype(jnp.float32)],
+                         axis=1)
+        return (excl, rest) + best
+
+    out = jax.lax.while_loop(cond, body, (excl, rest) + best)
+    return out[2:]
 
 
 # ---------------------------------------------------------------- sweeps
@@ -203,12 +255,21 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
     V = min(_visit_block(), K)
     cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
     table = _planar_table(chunks)
-    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
     t_init = cap
     best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
              jnp.zeros((R,), f32), jnp.zeros((R,), jnp.int32),
              jnp.zeros((R,), jnp.int32))
+    sweep = lambda ids, nears, best: _planar_sweep(
+        org, dirs, table, C, jnp.clip(ids, 0, K - 1), nears, tmin,
+        triangle, best)
+
+    if _use_pallas_select(tmin):
+        t, n, u, v, m, p = _pallas_phase_loop(
+            org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
+        return jnp.where(t < t_init, t, INF), (n, u, v, m, p)
+
+    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
     def cond(state):
         nr, best = state[0], state[1:]
@@ -217,8 +278,7 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
     def body(state):
         nr, best = state[0], state[1:]
         ids, nears, nr = _select_block(nr, V)
-        best = _planar_sweep(org, dirs, table, C, ids, nears, tmin,
-                             triangle, best)
+        best = sweep(ids, nears, best)
         return (nr,) + best
 
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
@@ -306,11 +366,20 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     V = min(_visit_block(), K)
     cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
     table = _sphere_table(chunks)
-    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
     t_init = cap
     best0 = (t_init, jnp.zeros((R, 3), f32), jnp.ones((R,), f32),
              jnp.zeros((R,), jnp.int32))
+    sweep = lambda ids, nears, best: _sphere_sweep(
+        org, dirs, time, table, C, jnp.clip(ids, 0, K - 1), nears, tmin,
+        best)
+
+    if _use_pallas_select(tmin):
+        t, ctr, rad, m = _pallas_phase_loop(
+            org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
+        return jnp.where(t < t_init, t, INF), (ctr, rad, m)
+
+    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
     def cond(state):
         nr, best = state[0], state[1:]
@@ -319,8 +388,7 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     def body(state):
         nr, best = state[0], state[1:]
         ids, nears, nr = _select_block(nr, V)
-        best = _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin,
-                             best)
+        best = sweep(ids, nears, best)
         return (nr,) + best
 
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
