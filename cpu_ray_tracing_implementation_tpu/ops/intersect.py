@@ -64,6 +64,21 @@ def _auto_mode(n_chunks: int) -> str:
     return "ray" if n_chunks >= RAY_MIN_CHUNKS else "packet"
 
 
+def _dense_pallas_ok(tmax) -> bool:
+    """Route a dense (small-scene) table through the fused Pallas kernel on
+    a 1-chunk view (ops/pallas_intersect.py "dense entry"): on for TPU
+    backends unless CRT_DENSE_PALLAS=0, and only for scalar static tmax
+    (the custom-VJP wrappers treat tmax as non-differentiable static)."""
+    import os
+
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+    if os.environ.get("CRT_DENSE_PALLAS", "1") != "1":
+        return False
+    return (pk.use_pallas() and jnp.ndim(tmax) == 0
+            and not isinstance(tmax, jax.core.Tracer))
+
+
 def _safe_div(num, den, fallback):
     ok = jnp.abs(den) > 1e-20
     den_safe = jnp.where(ok, den, 1.0)
@@ -487,7 +502,14 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
             t_s, sph_payload = chunked.sphere_closest(
                 org, dirs, time, scene.sphere_chunks, tmin, tmax=tmax)
     elif n_sph:
-        t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin, tmax))
+        if _dense_pallas_ok(tmax):
+            from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+            t_s, sph_payload = pk.sphere_closest_fused(
+                org, dirs, time, pk.dense_sphere_view(scene.spheres), tmin,
+                tmax)
+        else:
+            t_s, i_s = best(sphere_ts(org, dirs, time, scene.spheres, tmin,
+                                      tmax))
     else:
         t_s = inf_t
     def planar_path(chs, tree, tri_flag, needs_pid=False):
@@ -524,7 +546,12 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
         t_q, quad_payload = planar_path(scene.quad_chunks, scene.quad_tree,
                                         False)
     elif n_quad:
-        t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
+        if _dense_pallas_ok(tmax):
+            from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+            t_q, quad_payload = pk.planar_closest_fused(
+                org, dirs, pk.dense_quad_view(scene.quads), tmin, False, tmax)
+        else:
+            t_q, i_q = best(quad_ts(org, dirs, scene.quads, tmin, tmax))
     else:
         t_q = inf_t
     if scene.tri_chunks is not None:
@@ -533,7 +560,12 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
         t_t, tri_payload = planar_path(scene.tri_chunks, scene.tri_tree, True,
                                        needs_pid=scene.tri_attrs is not None)
     elif n_tri:
-        t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
+        if _dense_pallas_ok(tmax) and scene.tri_attrs is None:
+            from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+            t_t, tri_payload = pk.planar_closest_fused(
+                org, dirs, pk.dense_tri_view(scene.tris), tmin, True, tmax)
+        else:
+            t_t, i_t = best(tri_ts(org, dirs, scene.tris, tmin, tmax))
     else:
         t_t = inf_t
 
@@ -586,7 +618,7 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
             v_k = jnp.zeros_like(v_k)
         return pk, normal_k, front_k, u_k, v_k, m_k
 
-    if scene.sphere_chunks is not None:
+    if sph_payload is not None:
         center, rad_w, m_w = sph_payload
         pk = org + jnp.where(jnp.isfinite(t_s), t_s, 0.0)[:, None] * dirs
         outward = (pk - center) / rad_w[:, None]
@@ -597,12 +629,12 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
     elif n_sph:
         merge(which == 0, sphere_shading(org, dirs, time, scene.spheres, i_s,
                                          jnp.where(jnp.isfinite(t_s), t_s, 0.0)))
-    if scene.quad_chunks is not None:
+    if quad_payload is not None:
         merge(which == 1, planar_attrs(quad_payload, t_q))
     elif n_quad:
         merge(which == 1, quad_shading(org, dirs, scene.quads, i_q,
                                        jnp.where(jnp.isfinite(t_q), t_q, 0.0)))
-    if scene.tri_chunks is not None:
+    if tri_payload is not None:
         merge(which == 2, planar_attrs(tri_payload, t_t, zero_uv=True,
                                        tri_attrs=scene.tri_attrs))
     elif n_tri:

@@ -155,6 +155,8 @@ def planar_closest_pallas(org, dirs, chunks: ch.PlanarChunks, tmin,
     R = org.shape[0]
     K, C = chunks.corner.shape[0], chunks.corner.shape[1]
     R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU tests run the interpreter
 
     rays = jnp.zeros((8, R_pad), jnp.float32)
     rays = rays.at[0:3, :R].set(org.T)
@@ -344,6 +346,8 @@ def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
     R = org.shape[0]
     K, C = chunks.rad.shape
     R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
+    if jax.default_backend() != "tpu":
+        interpret = True  # CPU tests run the interpreter
 
     rays = jnp.zeros((8, R_pad), jnp.float32)
     rays = rays.at[0:3, :R].set(org.T)
@@ -397,6 +401,63 @@ def _sfused_bwd(tmin, tmax, res, ct):
 
 
 sphere_closest_fused.defvjp(_sfused_fwd, _sfused_bwd)
+
+
+# ----------------------------------------------- dense (small-scene) entry
+# Small scenes (<= ops.chunked.DENSE_MAX primitives, e.g. the Cornell box's
+# 17 quads) keep dense [N] tables and historically ran a pure-XLA [R,N]
+# pass. These views re-shape a dense table as ONE lane-padded chunk so the
+# same fused kernels above serve the small-scene path: the whole
+# intersect+select for a bounce becomes one pallas_call with grid
+# (R/TILE_R, 1) and no [R,N] intermediate in HBM. XLA lane-pads the dense
+# [R,N] intermediates to 128 anyway, so the kernel's C=128 does no extra
+# work — it only removes the HBM round-trips between the fused ops.
+# Backward passes reuse the chunked XLA scan on the same 1-chunk view
+# (identical math to the dense oracle; custom VJPs above).
+
+def _one_chunk(vec3s, scalars, lo_pts, hi_pts, active):
+    """([1,C,...] vec3 list, [1,C] scalar list, lo [1,3], hi [1,3])."""
+    N = active.shape[0]
+    C = -(-N // 128) * 128
+    pad = ((0, C - N), (0, 0))
+    v3 = [jnp.pad(x, pad)[None] for x in vec3s]
+    sc = [jnp.pad(x, pad[0])[None] for x in scalars]
+    m = active[:, None]
+    lo = jnp.min(jnp.stack([jnp.min(jnp.where(m, p, jnp.inf), axis=0)
+                            for p in lo_pts]), axis=0)[None]
+    hi = jnp.max(jnp.stack([jnp.max(jnp.where(m, p, -jnp.inf), axis=0)
+                            for p in hi_pts]), axis=0)[None]
+    return v3, sc, lo, hi
+
+
+def dense_planar_view(corner, eu, ev, mat, active) -> ch.PlanarChunks:
+    """1-chunk PlanarChunks view of a dense quad/triangle table."""
+    pts = [corner, corner + eu, corner + ev, corner + eu + ev]
+    v3, sc, lo, hi = _one_chunk([corner, eu, ev], [mat, active], pts, pts,
+                                active)
+    return ch.PlanarChunks(corner=v3[0], eu=v3[1], ev=v3[2], mat=sc[0],
+                           active=sc[1], lo=lo, hi=hi)
+
+
+def dense_quad_view(quads) -> ch.PlanarChunks:
+    return dense_planar_view(quads.corner, quads.eu, quads.ev, quads.mat,
+                             quads.active)
+
+
+def dense_tri_view(tris) -> ch.PlanarChunks:
+    """Triangles in (corner, eu, ev) form — same mapping as the chunked
+    build (eu = v1 - v0, ev = v2 - v0; interior test a+b <= 1)."""
+    return dense_planar_view(tris.v0, tris.v1 - tris.v0, tris.v2 - tris.v0,
+                             tris.mat, tris.active)
+
+
+def dense_sphere_view(sph) -> ch.SphereChunks:
+    r3 = sph.rad[:, None]
+    v3, sc, lo, hi = _one_chunk(
+        [sph.c0, sph.c1], [sph.rad, sph.mat, sph.active],
+        [sph.c0 - r3, sph.c1 - r3], [sph.c0 + r3, sph.c1 + r3], sph.active)
+    return ch.SphereChunks(c0=v3[0], c1=v3[1], rad=sc[0], mat=sc[1],
+                           active=sc[2], lo=lo, hi=hi)
 
 
 def use_pallas() -> bool:

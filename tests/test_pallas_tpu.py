@@ -108,3 +108,52 @@ def test_compiled_packet_matches_scan(sphere_scene):
     # cancellation amplifies that f32 drift to ~5e-4 relative on chip
     np.testing.assert_allclose(np.asarray(t_p)[m], np.asarray(t_c)[m],
                                rtol=2e-3)
+
+
+def test_compiled_dense_view_matches_dense_oracle():
+    """Cornell's 17 dense quads through the Mosaic-compiled fused kernel
+    (the small-scene routing, ops/pallas_intersect.py dense views) must
+    agree with the dense-XLA oracle."""
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+    from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
+
+    scene, _ = catalog.cornell_box(width=32, spp=1, max_depth=2)
+    rng = np.random.default_rng(6)
+    org = jnp.asarray(rng.uniform(100, 450, (2048, 3)), jnp.float32)
+    d = rng.normal(0, 1, (2048, 3))
+    dirs = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                       jnp.float32)
+
+    view = pk.dense_quad_view(scene.quads)
+    t_p, (n_p, _, _, m_p, _) = pk.planar_closest_pallas(
+        org, dirs, view, 1e-3, triangle=False, interpret=False)
+    ts = isect.quad_ts(org, dirs, scene.quads, 1e-3, jnp.inf)
+    t_d = jnp.min(ts, axis=-1)
+    hit = np.isfinite(np.asarray(t_d))
+    np.testing.assert_array_equal(hit, np.isfinite(np.asarray(t_p)))
+    assert hit.sum() > 1900
+    np.testing.assert_allclose(np.asarray(t_p)[hit], np.asarray(t_d)[hit],
+                               rtol=2e-3)
+
+
+def test_compiled_perray_select_matches_oracle(sphere_scene):
+    """The compiled cull+select kernel driving the per-ray accel (the
+    default for >=256-chunk tables; forced here) must agree with the
+    chunk-scan oracle on the chip."""
+    from cpu_ray_tracing_implementation_tpu.ops import chunked
+    from cpu_ray_tracing_implementation_tpu.ops import perray
+
+    rng = np.random.default_rng(4)
+    org, dirs = _rand_rays(rng, 1024)
+    time = jnp.zeros((1024,), jnp.float32)
+    t_c, _ = chunked.sphere_closest(org, dirs, time,
+                                    sphere_scene.sphere_chunks, 1e-3)
+    assert perray._use_pallas_select(1e-3)
+    t_r, _ = perray.sphere_closest_perray(org, dirs, time,
+                                          sphere_scene.sphere_chunks, 1e-3)
+    np.testing.assert_array_equal(np.isfinite(np.asarray(t_c)),
+                                  np.isfinite(np.asarray(t_r)))
+    m = np.isfinite(np.asarray(t_c))
+    np.testing.assert_allclose(np.asarray(t_r)[m], np.asarray(t_c)[m],
+                               rtol=2e-3)
