@@ -96,11 +96,15 @@ def loss_and_grads(scene, camera, key, target, spp: int,
 
 
 def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
-              spp: int = 8, seed: int = 0, param_filter=None, log=None):
+              spp: int = 8, seed: int = 0, param_filter=None,
+              grad_mask=None, log=None):
     """Gradient-descent inverse rendering on the scene parameters.
 
     ``param_filter``: optional set of param names to optimize (others
-    frozen). Returns (optimized scene, losses)."""
+    frozen). ``grad_mask``: optional dict of per-parameter multipliers
+    (broadcast against the parameter) for finer freezing — e.g. optimize a
+    single texture row while the light's emission row (which shares
+    ``tex_color0``) stays pinned. Returns (optimized scene, losses)."""
     params = scene_params(scene)
     names = set(params) if param_filter is None else set(param_filter)
     losses = []
@@ -116,10 +120,12 @@ def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
 
         return jax.value_and_grad(f)(params)
 
+    mask = grad_mask or {}
     for i in range(steps):
         loss, g = step(params, jax.random.fold_in(key, i), spp)
         losses.append(float(loss))
-        params = {n: (jnp.clip(params[n] - lr * g[n], 0.0, None)
+        params = {n: (jnp.clip(params[n] - lr * g[n] * mask.get(n, 1.0),
+                               0.0, None)
                       if n in names else params[n])
                   for n in params}
         if log and i % 10 == 0:

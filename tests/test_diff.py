@@ -117,3 +117,25 @@ def test_grads_finite_through_all_materials():
     assert np.isfinite(float(loss))
     for name, g in {**gs, **gc}.items():
         assert np.isfinite(np.asarray(g)).all(), name
+
+
+def test_fit_scene_grad_mask_freezes_rows():
+    """grad_mask zeroes updates for masked rows: the background row must
+    stay exactly at its start value while the sphere row moves."""
+    true_scene, cam = _simple_scene(albedo=(0.8, 0.2, 0.5))
+    from cpu_ray_tracing_implementation_tpu.models import integrator
+    target = integrator.render_image(true_scene, cam, jax.random.key(9),
+                                     spp=8)
+    wrong_scene, _ = _simple_scene(albedo=(0.5, 0.5, 0.5))
+
+    mask = np.zeros(np.asarray(wrong_scene.textures.color0).shape,
+                    np.float32)
+    mask[0] = 1.0  # row 0 = sphere albedo; row 1 = background solid
+    start = np.asarray(wrong_scene.textures.color0).copy()
+    fitted, _ = diff.fit_scene(wrong_scene, cam, jnp.asarray(target),
+                               steps=8, lr=2.0, spp=2, seed=3,
+                               param_filter={"tex_color0"},
+                               grad_mask={"tex_color0": jnp.asarray(mask)})
+    got = np.asarray(fitted.textures.color0)
+    assert np.abs(got[0] - start[0]).max() > 1e-3  # sphere row moved
+    np.testing.assert_array_equal(got[1:], start[1:])  # others frozen
