@@ -468,6 +468,25 @@ def cornell_box_with_sphere_light(width=None, spp=None, max_depth=None):
     return b.build(), cam.perspective(w, 1.0, (278, 278, -800), (278, 278, 0), 1, 40.0, s, d)
 
 
+def dispersion_prism(width=None, spp=None, max_depth=None):
+    """Beyond-parity extension: LIVE spectral rendering. A dense-flint
+    glass sphere (Cauchy B exaggerated to 0.08 um^2 for a visible effect)
+    in front of three thin white light strips on a black background: each
+    path carries a hero wavelength (models/integrator.py render_sample),
+    refracts at the Cauchy-shifted IOR and is weighted by the normalized
+    wavelength->RGB response (ops/spectrum.py) — the render layer the
+    reference's spectrum.h scaffolds but never calls (SURVEY.md §2.1)."""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 200, 6)
+    b = SceneBuilder()
+    glass = b.dielectric(1.5, dispersion=0.08)
+    white = b.diffuse_light((8.0, 8.0, 8.0))
+    b.sphere((0, 0, -3), 1.0, glass)
+    for y in (-0.8, 0.0, 0.8):
+        b.quad((-2.0, y - 0.05, -6.5), (4.0, 0, 0), (0, 0.1, 0), white)
+    b.set_background(b.solid((0.0, 0.0, 0.0)))
+    return b.build(), cam.perspective(w, 1.0, (0, 0, 0), (0, 0, -3), 1, 40.0, s, d)
+
+
 SCENES = {
     "three_material_ball": three_material_ball,
     "three_material_ball_with_defocus_blur": three_material_ball_with_defocus_blur,
@@ -494,4 +513,5 @@ SCENES = {
     # extensions beyond the reference catalog (see their docstrings)
     "cornell_box_with_sphere_light": cornell_box_with_sphere_light,
     "textured_fox": textured_fox,
+    "dispersion_prism": dispersion_prism,
 }

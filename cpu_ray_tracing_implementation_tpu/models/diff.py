@@ -37,6 +37,7 @@ def scene_params(scene) -> dict:
         "mat_ior": scene.materials.ior,
         "mat_smoothness": scene.materials.smoothness,
         "mat_spec_prob": scene.materials.spec_prob,
+        "mat_dispersion": scene.materials.dispersion,
     }
 
 
@@ -47,7 +48,8 @@ def apply_scene_params(scene, params: dict):
         materials=scene.materials.replace(
             fuzz=params["mat_fuzz"], ior=params["mat_ior"],
             smoothness=params["mat_smoothness"],
-            spec_prob=params["mat_spec_prob"]),
+            spec_prob=params["mat_spec_prob"],
+            dispersion=params["mat_dispersion"]),
     )
 
 

@@ -27,6 +27,7 @@ from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
 from cpu_ray_tracing_implementation_tpu.ops import fastrng
 from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
 from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
+from cpu_ray_tracing_implementation_tpu.ops import spectrum
 from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
 from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 
@@ -76,10 +77,14 @@ def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
     return jax.vmap(lambda k: jax.random.uniform(k, (nslot,)))(keys)
 
 
-def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
+def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
+                ior_shift=None):
     """One path segment for every lane: intersect, add miss-background /
     emission, scatter. The shared body of the classic scan integrator and
-    the path-regeneration wavefront (estimator: src/camera.h:193-241)."""
+    the path-regeneration wavefront (estimator: src/camera.h:193-241).
+
+    ``ior_shift``: per-path Cauchy dispersion term (spectral mode; None for
+    the RGB render)."""
     hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
                                 u[:, mat_ops.SLOT_VOLUME0:], active=alive)
 
@@ -94,7 +99,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
     radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
 
     # scatter
-    new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u)
+    new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u,
+                                                 ior_shift=ior_shift)
     alive = lit & continues
     throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
     org = jnp.where(alive[:, None], hit.p, org)
@@ -103,7 +109,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u):
 
 
 def render_rays(scene, org, dirs, time, key, max_depth: int,
-                ray_ids=None, uniforms=None, unroll: int = 1) -> jnp.ndarray:
+                ray_ids=None, uniforms=None, unroll: int = 1,
+                wavelength=None) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -112,6 +119,10 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     the parity tests to replay the exact stream into a NumPy oracle);
     normally drawn per bounce from ``key``.
     ``unroll``: bounce-scan unroll factor (see UNROLL below).
+    ``wavelength``: [R] hero wavelength (nm) per path — spectral mode
+    (Scene.has_dispersion): dielectrics refract at the Cauchy-shifted IOR
+    and the returned radiance is weighted by the normalized
+    wavelength->RGB response (spectrum.spectral_path_weight).
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -123,6 +134,10 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         # position-based textures add the offset back (ops/textures.py)
         org = org - scene.world_offset[None, :]
 
+    ior_shift = None
+    if wavelength is not None:
+        ior_shift = spectrum.cauchy_ior_shift(wavelength)
+
     def bounce(carry, inputs):
         org, dirs, time, throughput, radiance, alive = carry
         if uniforms is None:
@@ -131,7 +146,7 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         else:
             u = inputs
         return _shade_step(scene, org, dirs, time, throughput, radiance,
-                           alive, u), None
+                           alive, u, ior_shift=ior_shift), None
 
     init = (
         org, dirs, time,
@@ -142,6 +157,10 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     xs = jnp.arange(max_depth) if uniforms is None else uniforms
     (_, _, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs,
                                                 unroll=unroll)
+    if wavelength is not None:
+        # radiance is linear in initial throughput, so weighting after the
+        # scan == starting the path at throughput = weight
+        radiance = radiance * spectrum.spectral_path_weight(wavelength)
     return radiance
 
 
@@ -175,8 +194,18 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
     u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
     u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
+    wavelength = None
+    if scene.has_dispersion:
+        # hero wavelength per (pixel, sample) path; a derived key keeps the
+        # RGB path's (k_cam, k_path) streams untouched when dispersion is off
+        u_wl = _per_ray_uniforms(jax.random.fold_in(key, 0x5ec7),
+                                 pixel_ids, 1)[:, 0]
+        wavelength = (spectrum.WAVELENGTH_MIN
+                      + u_wl * (spectrum.WAVELENGTH_MAX
+                                - spectrum.WAVELENGTH_MIN))
     return render_rays(scene, org, dirs, time, k_path, camera.max_depth,
-                       ray_ids=pixel_ids, unroll=unroll)
+                       ray_ids=pixel_ids, unroll=unroll,
+                       wavelength=wavelength)
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "unroll"))
@@ -260,6 +289,30 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
 
         cam_words, path_words = jax.vmap(_sample_words)(jnp.arange(spp))
 
+    dispersive = scene.has_dispersion
+    if dispersive and fast:
+        # seed words of the classic hero-wavelength stream: render_sample
+        # draws from fold_in(fold_in(key, s), 0x5ec7) per sample
+        wl_words = jax.vmap(lambda s: jax.random.bits(
+            jax.random.fold_in(jax.random.fold_in(key, s), 0x5ec7),
+            (2,), jnp.uint32))(jnp.arange(spp))
+
+    def spawn_wavelength(path_id):
+        """Per-lane hero wavelength, bitwise the classic render_sample
+        draw for the lane's (pixel, sample) path."""
+        pix = path_id % n_pix
+        s = jnp.clip(path_id // n_pix, 0, spp - 1)
+        if fast:
+            u_wl = fastrng.uniforms(wl_words[s, 0], wl_words[s, 1],
+                                    pix, 1)[:, 0]
+        else:
+            ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, s)
+            kw = jax.vmap(jax.random.fold_in, in_axes=(0, None))(ks, 0x5ec7)
+            u_wl = _lane_uniforms(jax.vmap(jax.random.fold_in)(kw, pix),
+                                  1)[:, 0]
+        return (spectrum.WAVELENGTH_MIN
+                + u_wl * (spectrum.WAVELENGTH_MAX - spectrum.WAVELENGTH_MIN))
+
     def path_keys(path_id):
         """(k_cam, k_path) of a path's sample, per lane (threefry impl)."""
         sample = path_id // n_pix
@@ -289,7 +342,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
 
     def body(state):
         (path_id, bounce, org, dirs, time, throughput, radiance, alive,
-         issued, image) = state
+         issued, image) = state[:10]
+        wl = state[10] if dispersive else None
         pix = path_id % n_pix
         if fast:
             s = jnp.clip(path_id // n_pix, 0, spp - 1)
@@ -302,13 +356,20 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
                 jax.vmap(jax.random.fold_in)(k_path, bounce), pix)
             u = _lane_uniforms(u_keys, nslot)
 
+        ior_shift = spectrum.cauchy_ior_shift(wl) if dispersive else None
         org, dirs, time, throughput, radiance, alive2 = _shade_step(
-            scene, org, dirs, time, throughput, radiance, alive, u)
+            scene, org, dirs, time, throughput, radiance, alive, u,
+            ior_shift=ior_shift)
         bounce = bounce + 1
         alive2 = alive2 & (bounce < max_depth)
 
         done = alive & ~alive2              # path just finished
-        image = image.at[pix].add(jnp.where(done[:, None], radiance, 0.0))
+        flush = radiance
+        if dispersive:
+            # same post-hoc weighting as render_rays: radiance is linear in
+            # initial throughput
+            flush = radiance * spectrum.spectral_path_weight(wl)
+        image = image.at[pix].add(jnp.where(done[:, None], flush, 0.0))
 
         # refill finished lanes with the next unissued paths
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
@@ -326,8 +387,11 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         radiance = jnp.where(fresh[:, None], 0.0, radiance)
         bounce = jnp.where(fresh, 0, bounce)
         alive = jnp.where(fresh, s_active, alive2)
-        return (path_id, bounce, org, dirs, time, throughput, radiance,
-                alive, issued, image)
+        out = (path_id, bounce, org, dirs, time, throughput, radiance,
+               alive, issued, image)
+        if dispersive:
+            out += (jnp.where(fresh, spawn_wavelength(path_id), wl),)
+        return out
 
     def cond(state):
         alive = state[7]
@@ -338,12 +402,18 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     state = (path0, jnp.zeros((R,), jnp.int32), org0, dirs0, time0,
              jnp.ones((R, 3), f32), jnp.zeros((R, 3), f32), active0,
              jnp.int32(R), jnp.zeros((n_pix, 3), f32))
+    if dispersive:
+        state += (spawn_wavelength(path0),)
     state = jax.lax.while_loop(cond, body, state)
     return state[9]
 
 
 def render_image_wavefront(scene, camera, key, spp: int | None = None):
-    """Full image [H,W,3] through the path-regeneration wavefront."""
+    """Full image [H,W,3] through the path-regeneration wavefront.
+
+    Dispersive scenes carry each lane's hero wavelength through the refill
+    logic (spawn_wavelength reconstructs the classic render_sample draw per
+    (pixel, sample) path), so spectral renders match the classic scan."""
     spp = camera.spp if spp is None else spp
     accum = render_wavefront(scene, camera, key, spp)
     return (accum / spp).reshape(camera.height, camera.width, 3)

@@ -115,9 +115,14 @@ class Materials:
     mtype: jnp.ndarray      # [M] int32
     tex: jnp.ndarray        # [M] int32 texture id (albedo or emission)
     fuzz: jnp.ndarray       # [M] metal fuzz
-    ior: jnp.ndarray        # [M] dielectric refraction index
+    ior: jnp.ndarray        # [M] dielectric refraction index at 589 nm
     smoothness: jnp.ndarray # [M] gloss smoothness
     spec_prob: jnp.ndarray  # [M] gloss specular probability
+    # Cauchy dispersion coefficient B in um^2: n(lambda) = ior +
+    # B*(1/lambda_um^2 - 1/0.589^2). 0 = non-dispersive. Drives the
+    # hero-wavelength spectral render mode (ops/spectrum.py) — a LIVE use
+    # of the spectral layer the reference only scaffolds (src/spectrum.h).
+    dispersion: jnp.ndarray = None  # [M]
 
 
 @struct.dataclass
@@ -162,6 +167,11 @@ class Scene:
     # static set of material type codes present (like tex_types_used):
     # unused material families never enter the scatter XLA graph
     mat_types_used: tuple = struct.field(pytree_node=False, default=())
+    # static: any material has a nonzero Cauchy dispersion coefficient —
+    # turns on the hero-wavelength spectral path (integrator draws one
+    # wavelength per (pixel, sample) path and weights its radiance by the
+    # normalized wavelength->RGB response). Off = bitwise the RGB render.
+    has_dispersion: bool = struct.field(pytree_node=False, default=False)
     # chunk-scan acceleration for large tables (ops/chunked.py): primitives
     # in BVH depth-first order, cut into fixed chunks with AABBs. None for
     # small tables (dense single-pass path).
@@ -293,7 +303,7 @@ class SceneBuilder:
 
     # ---------------- materials ----------------
     def _mat_row(self, **kw) -> int:
-        row = dict(mtype=MAT_LAMBERTIAN, tex=0, fuzz=0.0, ior=1.0, smoothness=0.0, spec_prob=0.0)
+        row = dict(mtype=MAT_LAMBERTIAN, tex=0, fuzz=0.0, ior=1.0, smoothness=0.0, spec_prob=0.0, dispersion=0.0)
         row.update(kw)
         self._mats.append(row)
         return len(self._mats) - 1
@@ -305,8 +315,13 @@ class SceneBuilder:
         return self._mat_row(mtype=MAT_METAL, tex=self._as_tex(tex_or_color),
                              fuzz=float(np.clip(fuzz, 0.0, 1.0)))
 
-    def dielectric(self, ior: float, tex_or_color=(1.0, 1.0, 1.0)) -> int:
-        return self._mat_row(mtype=MAT_DIELECTRIC, tex=self._as_tex(tex_or_color), ior=float(ior))
+    def dielectric(self, ior: float, tex_or_color=(1.0, 1.0, 1.0),
+                   dispersion: float = 0.0) -> int:
+        """``dispersion``: Cauchy B in um^2 (BK7 glass ~0.0042; dense flint
+        ~0.013). Nonzero turns on the hero-wavelength spectral render mode
+        for the whole scene (Scene.has_dispersion)."""
+        return self._mat_row(mtype=MAT_DIELECTRIC, tex=self._as_tex(tex_or_color), ior=float(ior),
+                             dispersion=float(dispersion))
 
     def gloss(self, tex_or_color, smoothness: float, spec_prob: float) -> int:
         return self._mat_row(mtype=MAT_GLOSS, tex=self._as_tex(tex_or_color),
@@ -648,6 +663,7 @@ class SceneBuilder:
             ior=jnp.asarray(np.array([m["ior"] for m in self._mats], f32)),
             smoothness=jnp.asarray(np.array([m["smoothness"] for m in self._mats], f32)),
             spec_prob=jnp.asarray(np.array([m["spec_prob"] for m in self._mats], f32)),
+            dispersion=jnp.asarray(np.array([m["dispersion"] for m in self._mats], f32)),
         )
 
         if not self._texs:
@@ -718,6 +734,7 @@ class SceneBuilder:
             background=self._background,
             tex_types_used=tex_types_used,
             mat_types_used=tuple(sorted({m["mtype"] for m in self._mats})),
+            has_dispersion=any(m["dispersion"] != 0.0 for m in self._mats),
             counts=(len(self._sph), len(self._quads), len(self._tris), len(self._vols)),
             sphere_chunks=sphere_chunks,
             quad_chunks=quad_chunks,

@@ -180,12 +180,18 @@ def _sphere_light_pdf_sum(scene, origin: jnp.ndarray,
     return jnp.sum(jnp.where(hits, smp.cone_pdf(cos_max), 0.0), axis=-1)
 
 
-def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
+def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
+            ior_shift=None):
     """One scatter decision per lane.
 
     Returns (new_dir [R,3], weight [R,3], continues [R] bool). Lanes whose
     material does not scatter (diffuse_light, src/material.h:43 default) get
     continues=False.
+
+    ``ior_shift``: optional [R] per-path Cauchy term
+    (spectrum.cauchy_ior_shift of the path's hero wavelength); dielectric
+    lanes then refract at ior + dispersion * ior_shift. None (the RGB
+    render) keeps the graph free of the dispersion table.
     """
     mats = scene.materials
     n_m = mats.mtype.shape[0]
@@ -225,6 +231,9 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray):
     if has_diel:
         # --- dielectric: Schlick reflect/refract, kDetermined (src/material.h:113-131)
         m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
+        if ior_shift is not None:
+            m_ior = m_ior + tbl.take_rows(mats.dispersion, hit.mat,
+                                          oh) * ior_shift
         ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
         cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
         sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))

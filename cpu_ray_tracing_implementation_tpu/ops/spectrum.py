@@ -86,9 +86,12 @@ def _wavelength_to_rgb_scalar(wl: float) -> np.ndarray:
     return np.array([chan(r), chan(g), chan(b)], np.float64)
 
 
-# [NUM_BINS, 3] byte-scale RGB basis, built once
-RGB_BASIS = jnp.asarray(
-    np.stack([_wavelength_to_rgb_scalar(w) for w in WAVELENGTHS]).astype(np.float32))
+# [NUM_BINS, 3] byte-scale RGB basis, built once. Kept as numpy on
+# purpose: a module-level jnp.asarray would initialize the XLA backend at
+# import time, which breaks jax.distributed.initialize in multi-host
+# workers (it must run before any backend init).
+RGB_BASIS = np.stack(
+    [_wavelength_to_rgb_scalar(w) for w in WAVELENGTHS]).astype(np.float32)
 
 
 def wavelength_to_rgb(wavelength) -> jnp.ndarray:
@@ -128,3 +131,38 @@ def to_rgb(spd: jnp.ndarray) -> jnp.ndarray:
 def to_linear_rgb(spd: jnp.ndarray) -> jnp.ndarray:
     """[0,1]-scale variant for feeding the film pipeline."""
     return to_rgb(spd) / 255.0
+
+
+# -------------------------------------------- hero-wavelength dispersion
+# The live spectral render mode (Scene.has_dispersion): each (pixel,
+# sample) path carries ONE wavelength drawn uniformly from
+# [WAVELENGTH_MIN, WAVELENGTH_MAX]; dielectric IOR shifts by a Cauchy term
+# and the path's RGB radiance is weighted by the normalized wavelength
+# response below. The reference's spectrum.h scaffolding has no render
+# path at all — this makes the layer live.
+
+# E_[lambda ~ U(380,750)] of the linear RGB response, per channel: weights
+# divide by this so a dispersion-free path stays white in expectation.
+_WEIGHT_NORM = np.maximum(
+    np.mean([_wavelength_to_rgb_scalar(w)
+             for w in np.arange(WAVELENGTH_MIN, WAVELENGTH_MAX + 0.25, 0.5)],
+            axis=0) / 255.0,
+    1e-6)
+# kept as numpy on purpose: a module-level jnp.asarray would initialize
+# the XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-host workers (it must run before any backend init).
+SPECTRAL_WEIGHT_NORM = np.asarray(_WEIGHT_NORM, np.float32)
+
+
+def spectral_path_weight(wl) -> jnp.ndarray:
+    """[..., 3] RGB weight of a hero-wavelength path; mean over uniform
+    wavelengths is (1,1,1) per channel."""
+    return (wavelength_to_rgb(wl) / 255.0) / SPECTRAL_WEIGHT_NORM
+
+
+def cauchy_ior_shift(wl_nm) -> jnp.ndarray:
+    """(1/lambda_um^2 - 1/0.589^2): multiply by a material's Cauchy B to
+    get its IOR offset at ``wl_nm`` (zero at the 589 nm sodium line, where
+    Materials.ior is specified)."""
+    lam_um = jnp.asarray(wl_nm, jnp.float32) * 1e-3
+    return 1.0 / (lam_um * lam_um) - 1.0 / (0.589 * 0.589)

@@ -46,6 +46,7 @@ GOLDEN_MEANS = {
     "test_voronoi_noise": 0.462877,
     "test_worley_noise": 0.322421,
     "textured_fox": 0.620839,
+    "dispersion_prism": 0.782510,  # recorded 2026-08-18 (spectral mode)
     "three_material_ball": 0.563181,
     "three_material_ball_with_defocus_blur": 0.605853,
     "white_sphere": 1.000000,
