@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "within cell s of an exact grid over the pixel "
                         "(lower variance at equal cost; off = reference-"
                         "parity uniform jitter)")
+    p.add_argument("--denoise", action="store_true",
+                   help="edge-avoiding a-trous denoise (utils/denoise.py) "
+                        "guided by first-hit AOVs before writing the image")
+    p.add_argument("--aovs", default=None, metavar="PREFIX",
+                   help="also write first-hit AOV buffers (normal/albedo/"
+                        "depth/coverage) as PREFIX_<name>.png")
     p.add_argument("--format", choices=("png", "ppm"), default=None,
                    help="output container (default: from output extension, else png)")
     p.add_argument("--sharded", action="store_true",
@@ -55,7 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
-               "format", "sharded", "checkpoint", "chunk_spp", "stratify")
+               "format", "sharded", "checkpoint", "chunk_spp", "stratify",
+               "denoise", "aovs")
 
 
 def main(argv=None) -> int:
@@ -145,6 +152,26 @@ def main(argv=None) -> int:
             img = integrator.render_image(scene, cam, key)
         import numpy as np
 
+        if args.denoise or args.aovs:
+            from cpu_ray_tracing_implementation_tpu.models import aov as aov_mod
+
+            bufs = aov_mod.render_aovs(scene, cam, key,
+                                       spp=min(cam.spp, 16))
+            if args.denoise:
+                from cpu_ray_tracing_implementation_tpu.utils import denoise
+
+                img = denoise.denoise(img, bufs)
+            if args.aovs:
+                for name, b in bufs.items():
+                    v = np.asarray(b)
+                    if name == "normal":
+                        v = 0.5 * (v + 1.0)  # [-1,1] -> display range
+                    elif name == "depth":
+                        v = v / max(float(v.max()), 1e-6)
+                    if v.shape[-1] == 1:
+                        v = np.repeat(v, 3, axis=-1)
+                    film.write_png(f"{args.aovs}_{name}.png", v)
+                print(f"Wrote AOVs to {args.aovs}_*.png")
         a = np.asarray(img)
     dt = time.time() - t0
     rays = cam.width * cam.height * cam.spp
