@@ -33,6 +33,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "within cell s of an exact grid over the pixel "
                         "(lower variance at equal cost; off = reference-"
                         "parity uniform jitter)")
+    p.add_argument("--adaptive", type=float, default=None, metavar="REL_TOL",
+                   help="adaptive sampling: per-pixel 95%% CI termination "
+                        "at this relative luminance tolerance (e.g. 0.05); "
+                        "--spp becomes the per-pixel max")
     p.add_argument("--denoise", action="store_true",
                    help="edge-avoiding a-trous denoise (utils/denoise.py) "
                         "guided by first-hit AOVs before writing the image")
@@ -62,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
-               "denoise", "aovs")
+               "denoise", "aovs", "adaptive")
 
 
 def main(argv=None) -> int:
@@ -144,6 +148,15 @@ def main(argv=None) -> int:
             img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
                                               chunk_spp=args.chunk_spp,
                                               ckpt_path=args.checkpoint)
+        elif args.adaptive is not None:
+            from cpu_ray_tracing_implementation_tpu.models import adaptive
+
+            img, spp_map = adaptive.render_image_adaptive(
+                scene, cam, key, rel_tol=args.adaptive,
+                return_spp_map=True)
+            print(f"Adaptive spp: mean {spp_map.mean():.1f}, "
+                  f"min {spp_map.min()}, max {spp_map.max()} "
+                  f"(budget {cam.spp})")
         elif args.sharded and len(jax.devices()) > 1:
             from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
 
