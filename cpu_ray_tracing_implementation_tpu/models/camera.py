@@ -46,6 +46,11 @@ class Camera:
     # nx x ny == spp grid over the pixel, cutting pixel variance at equal
     # cost. Off by default so the reference-parity goldens stay valid.
     stratify: bool = struct.field(pytree_node=False, default=False)
+    # Firefly clamp (opt-in; cam.replace(clamp=C) or CLI --clamp): each
+    # path sample's radiance is min'd against C per channel before
+    # accumulation — the standard production "max sample brightness"
+    # variance/bias trade. 0.0 (default) = off, estimator untouched.
+    clamp: float = struct.field(pytree_node=False, default=0.0)
 
 
 def _image_height(width: int, aspect_ratio: float) -> int:

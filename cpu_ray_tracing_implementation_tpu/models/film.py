@@ -39,3 +39,13 @@ def write_png(path: str, img) -> None:
     from PIL import Image
 
     Image.fromarray(to_bytes(img)).save(path)
+
+
+def write_exr(path: str, img, half: bool = False) -> None:
+    """Full-fidelity linear-radiance HDR output (no gamma, no clamp) via
+    the self-contained EXR codec (utils/exr.py) — the output side the
+    reference's vendored tinyexr never exposes."""
+    from cpu_ray_tracing_implementation_tpu.utils import exr
+
+    a = np.asarray(jnp.asarray(img), np.float32)
+    exr.write_exr(path, np.nan_to_num(a, nan=0.0), half=half)

@@ -203,9 +203,12 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
         wavelength = (spectrum.WAVELENGTH_MIN
                       + u_wl * (spectrum.WAVELENGTH_MAX
                                 - spectrum.WAVELENGTH_MIN))
-    return render_rays(scene, org, dirs, time, k_path, camera.max_depth,
-                       ray_ids=pixel_ids, unroll=unroll,
-                       wavelength=wavelength)
+    rad = render_rays(scene, org, dirs, time, k_path, camera.max_depth,
+                      ray_ids=pixel_ids, unroll=unroll,
+                      wavelength=wavelength)
+    if camera.clamp > 0.0:
+        rad = jnp.minimum(rad, camera.clamp)  # firefly clamp (camera.py)
+    return rad
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "unroll"))
@@ -369,6 +372,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             # same post-hoc weighting as render_rays: radiance is linear in
             # initial throughput
             flush = radiance * spectrum.spectral_path_weight(wl)
+        if camera.clamp > 0.0:
+            flush = jnp.minimum(flush, camera.clamp)  # firefly clamp
         image = image.at[pix].add(jnp.where(done[:, None], flush, 0.0))
 
         # refill finished lanes with the next unissued paths

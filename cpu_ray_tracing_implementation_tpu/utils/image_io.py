@@ -26,9 +26,18 @@ def load_image(path: str) -> np.ndarray:
     magenta, matching the reference's graceful degradation (src/image.h:75)."""
     try:
         if path.lower().endswith(".exr"):
-            import imageio.v3 as iio
+            try:
+                # self-contained codec first (uncompressed scanlines —
+                # covers everything film.write_exr produces)
+                from cpu_ray_tracing_implementation_tpu.utils import exr
 
-            arr = np.asarray(iio.imread(path), np.float32)
+                arr = exr.read_exr(path)
+            except ValueError:
+                # compressed/tiled files: defer to imageio if a backend
+                # exists in this environment
+                import imageio.v3 as iio
+
+                arr = np.asarray(iio.imread(path), np.float32)
             if arr.ndim == 2:
                 arr = arr[..., None].repeat(3, axis=-1)
             arr = arr[..., :3]

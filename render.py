@@ -43,8 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aovs", default=None, metavar="PREFIX",
                    help="also write first-hit AOV buffers (normal/albedo/"
                         "depth/coverage) as PREFIX_<name>.png")
-    p.add_argument("--format", choices=("png", "ppm"), default=None,
-                   help="output container (default: from output extension, else png)")
+    p.add_argument("--clamp", type=float, default=None, metavar="C",
+                   help="firefly clamp: per-sample radiance min'd against C "
+                        "per channel (variance/bias trade; off by default)")
+    p.add_argument("--format", choices=("png", "ppm", "exr"), default=None,
+                   help="output container (default: from output extension, "
+                        "else png); exr writes linear HDR radiance")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all available devices")
     p.add_argument("--checkpoint", default=None, metavar="PATH",
@@ -66,7 +70,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
-               "denoise", "aovs", "adaptive")
+               "denoise", "aovs", "adaptive", "clamp")
 
 
 def main(argv=None) -> int:
@@ -128,12 +132,16 @@ def main(argv=None) -> int:
         return 2
 
     out = args.output or f"{scene_name}.png"
-    fmt = args.format or ("ppm" if out.lower().endswith(".ppm") else "png")
+    low = out.lower()
+    fmt = args.format or ("ppm" if low.endswith(".ppm")
+                          else "exr" if low.endswith(".exr") else "png")
 
     scene, cam = catalog.SCENES[scene_name](
         width=args.width, spp=args.spp, max_depth=args.max_depth)
     if args.stratify:
         cam = cam.replace(stratify=True)
+    if args.clamp is not None:
+        cam = cam.replace(clamp=args.clamp)
     print(f"Rendering {scene_name}: {cam.width}x{cam.height}, "
           f"{cam.spp} spp, depth {cam.max_depth} on {jax.devices()[0].platform}")
 
@@ -192,6 +200,8 @@ def main(argv=None) -> int:
 
     if fmt == "ppm":
         film.write_ppm(out, a)
+    elif fmt == "exr":
+        film.write_exr(out, a)
     else:
         film.write_png(out, a)
     print(f"Wrote {out}")
