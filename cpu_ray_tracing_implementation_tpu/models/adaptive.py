@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cpu_ray_tracing_implementation_tpu.models import integrator
+from cpu_ray_tracing_implementation_tpu.ops import qmc
 
 
 def _luma(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -47,12 +48,14 @@ def _accumulate_subset(scene, camera, key, pixel_ids, sample_offset,
     [sample_offset, sample_offset + spp) for the given pixel ids — the
     same per-sample stream as integrator.accumulate_samples."""
     n = pixel_ids.shape[0]
+    qmc_words = qmc.seed_words(key) if camera.qmc else None
 
     def one_sample(acc, s):
         s_abs = sample_offset + s
         k = jax.random.fold_in(key, s_abs)
         rad = integrator.render_sample(scene, camera, k, pixel_ids,
-                                       sample_idx=s_abs)
+                                       sample_idx=s_abs,
+                                       qmc_words=qmc_words)
         l = _luma(rad)
         return (acc[0] + rad, acc[1] + l, acc[2] + l * l), None
 

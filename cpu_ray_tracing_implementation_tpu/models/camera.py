@@ -46,6 +46,12 @@ class Camera:
     # nx x ny == spp grid over the pixel, cutting pixel variance at equal
     # cost. Off by default so the reference-parity goldens stay valid.
     stratify: bool = struct.field(pytree_node=False, default=False)
+    # Owen-scrambled Sobol sampling (opt-in; cam.replace(qmc=True) or CLI
+    # --qmc): every dimension pair of a path (pixel jitter, BSDF dir,
+    # light UV, ...) draws from a per-pixel-scrambled (0,2)-sequence
+    # indexed by sample (ops/qmc.py) instead of the hash PRNG — lower
+    # variance at equal spp, unbiased. Off = reference-parity PRNG.
+    qmc: bool = struct.field(pytree_node=False, default=False)
     # Firefly clamp (opt-in; cam.replace(clamp=C) or CLI --clamp): each
     # path sample's radiance is min'd against C per channel before
     # accumulation — the standard production "max sample brightness"

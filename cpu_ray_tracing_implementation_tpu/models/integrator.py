@@ -27,6 +27,7 @@ from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
 from cpu_ray_tracing_implementation_tpu.ops import fastrng
 from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
 from cpu_ray_tracing_implementation_tpu.ops import materials as mat_ops
+from cpu_ray_tracing_implementation_tpu.ops import qmc
 from cpu_ray_tracing_implementation_tpu.ops import spectrum
 from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
 from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
@@ -110,7 +111,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
 
 def render_rays(scene, org, dirs, time, key, max_depth: int,
                 ray_ids=None, uniforms=None, unroll: int = 1,
-                wavelength=None) -> jnp.ndarray:
+                wavelength=None, qmc_words=None, sample_idx=None
+                ) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -123,6 +125,9 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     (Scene.has_dispersion): dielectrics refract at the Cauchy-shifted IOR
     and the returned radiance is weighted by the normalized
     wavelength->RGB response (spectrum.spectral_path_weight).
+    ``qmc_words`` (+ ``sample_idx``): Owen-Sobol mode (camera.qmc):
+    bounce uniforms come from the per-(pixel, pair) scrambled
+    (0,2)-sequence at ``sample_idx`` instead of the hash PRNG.
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -138,13 +143,21 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     if wavelength is not None:
         ior_shift = spectrum.cauchy_ior_shift(wavelength)
 
+    if qmc_words is not None:
+        b_groups, b_dims, b_ngroups = qmc.bounce_layout(nslot)
+
     def bounce(carry, inputs):
         org, dirs, time, throughput, radiance, alive = carry
-        if uniforms is None:
+        if uniforms is not None:
+            u = inputs
+        elif qmc_words is not None:
+            bounce_idx = inputs
+            u = qmc.uniforms(qmc_words, ray_ids, sample_idx,
+                             qmc.N_CAM_GROUPS + bounce_idx * b_ngroups,
+                             b_groups, b_dims)
+        else:
             bounce_idx = inputs
             u = _per_ray_uniforms(jax.random.fold_in(key, bounce_idx), ray_ids, nslot)
-        else:
-            u = inputs
         return _shade_step(scene, org, dirs, time, throughput, radiance,
                            alive, u, ior_shift=ior_shift), None
 
@@ -182,17 +195,29 @@ def _default_unroll() -> tuple:
 
 
 def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
-                  sample_idx=None) -> jnp.ndarray:
+                  sample_idx=None, qmc_words=None) -> jnp.ndarray:
     """One sample of every pixel in ``pixel_ids``: raygen + integrate.
 
     All randomness is keyed by pixel id, so any partition of the pixel set
     (tiles across chips, chunks across steps) produces identical samples.
     ``sample_idx``: absolute sample index; enables stratified pixel jitter
     when camera.stratify is set (camera.stratify_pixel_jitter).
+    ``qmc_words``: [2] session seed words (qmc.seed_words of the BASE
+    render key, not the per-sample fold) — required when camera.qmc is
+    set, along with ``sample_idx``.
     """
     k_cam, k_path = jax.random.split(key)
-    u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
-    u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
+    if camera.qmc:
+        if qmc_words is None or sample_idx is None:
+            raise ValueError("camera.qmc render needs qmc_words + "
+                             "sample_idx (see qmc.seed_words)")
+        u_cam = qmc.uniforms(qmc_words, pixel_ids, sample_idx, 0,
+                             qmc.CAM_GROUP, qmc.CAM_DIM)
+        # Sobol pixel jitter is already stratified; camera.stratify's
+        # explicit grid would break the (0,2) progression — skip it.
+    else:
+        u_cam = _per_ray_uniforms(k_cam, pixel_ids, cam_mod.N_CAM_SLOTS)
+        u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
     wavelength = None
     if scene.has_dispersion:
@@ -205,7 +230,9 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
                                 - spectrum.WAVELENGTH_MIN))
     rad = render_rays(scene, org, dirs, time, k_path, camera.max_depth,
                       ray_ids=pixel_ids, unroll=unroll,
-                      wavelength=wavelength)
+                      wavelength=wavelength,
+                      qmc_words=qmc_words if camera.qmc else None,
+                      sample_idx=sample_idx)
     if camera.clamp > 0.0:
         rad = jnp.minimum(rad, camera.clamp)  # firefly clamp (camera.py)
     return rad
@@ -225,12 +252,15 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int,
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
 
+    qmc_words = qmc.seed_words(key) if camera.qmc else None
+
     # remat per sample: the backward pass recomputes each sample's wavefront
     # instead of storing 256 samples x depth bounces of [R,...] residuals —
     # the standard jax.checkpoint FLOPs-for-HBM trade
     sample_fn = jax.checkpoint(
         lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
-                                       unroll=unroll[0], sample_idx=s_abs))
+                                       unroll=unroll[0], sample_idx=s_abs,
+                                       qmc_words=qmc_words))
 
     def one_sample(accum, s):
         s_abs = sample_offset + s
@@ -292,6 +322,11 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
 
         cam_words, path_words = jax.vmap(_sample_words)(jnp.arange(spp))
 
+    use_qmc = camera.qmc
+    if use_qmc:
+        q_words = qmc.seed_words(key)
+        qb_groups, qb_dims, qb_ngroups = qmc.bounce_layout(nslot)
+
     dispersive = scene.has_dispersion
     if dispersive and fast:
         # seed words of the classic hero-wavelength stream: render_sample
@@ -327,7 +362,11 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         """Camera rays + fresh state for the given path ids (id >= total ->
         inactive lane)."""
         pix = path_id % n_pix
-        if fast:
+        if use_qmc:
+            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            u_cam = qmc.uniforms(q_words, pix, s, 0, qmc.CAM_GROUP,
+                                 qmc.CAM_DIM)
+        elif fast:
             s = jnp.clip(path_id // n_pix, 0, spp - 1)
             u_cam = fastrng.uniforms(cam_words[s, 0], cam_words[s, 1],
                                      pix, cam_mod.N_CAM_SLOTS)
@@ -335,8 +374,11 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             k_cam, _ = path_keys(path_id)
             cam_keys = jax.vmap(jax.random.fold_in)(k_cam, pix)
             u_cam = _lane_uniforms(cam_keys, cam_mod.N_CAM_SLOTS)
-        # per-lane absolute sample index == the classic loop's scalar one
-        u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, path_id // n_pix)
+        if not use_qmc:
+            # per-lane absolute sample index == the classic loop's scalar
+            # one (Sobol jitter is already stratified; see render_sample)
+            u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam,
+                                                  path_id // n_pix)
         org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
         if scene.world_offset is not None:
             org = org - scene.world_offset[None, :]
@@ -348,7 +390,13 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
          issued, image) = state[:10]
         wl = state[10] if dispersive else None
         pix = path_id % n_pix
-        if fast:
+        if use_qmc:
+            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            b = jnp.clip(bounce, 0, max_depth - 1)
+            u = qmc.uniforms(q_words, pix, s,
+                             qmc.N_CAM_GROUPS + b * qb_ngroups,
+                             qb_groups, qb_dims)
+        elif fast:
             s = jnp.clip(path_id // n_pix, 0, spp - 1)
             b = jnp.clip(bounce, 0, max_depth - 1)
             u = fastrng.uniforms(path_words[s, b, 0], path_words[s, b, 1],

@@ -25,6 +25,7 @@ from jax import shard_map
 
 from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
 from cpu_ray_tracing_implementation_tpu.models import integrator
+from cpu_ray_tracing_implementation_tpu.ops import qmc
 
 AXIS = "chips"
 TILE_AXIS = "tile"
@@ -80,12 +81,14 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
         )
         def shard_render(scene, camera, key, pids):
             bu, su = integrator._default_unroll()
+            qwords = qmc.seed_words(key) if camera.qmc else None
 
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
                                                         unroll=bu,
-                                                        sample_idx=s), None
+                                                        sample_idx=s,
+                                                        qmc_words=qwords), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -120,12 +123,14 @@ def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = N
         def shard_render(scene, camera, key, pids, dev_id):
             base = dev_id[0] * per_dev_
             bu, su = integrator._default_unroll()
+            qwords = qmc.seed_words(key) if camera.qmc else None
 
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base + s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
                                                         unroll=bu,
-                                                        sample_idx=base + s), None
+                                                        sample_idx=base + s,
+                                                        qmc_words=qwords), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -166,12 +171,14 @@ def render_image_sharded_2d(scene, camera, key, mesh: Mesh,
         )
         def shard_render(scene, camera, key, pids, base):
             bu, su = integrator._default_unroll()
+            qwords = qmc.seed_words(key) if camera.qmc else None
 
             def one_sample(accum, s):
                 k = jax.random.fold_in(key, base[0] + s)
                 return accum + integrator.render_sample(scene, camera, k, pids,
                                                         unroll=bu,
-                                                        sample_idx=base[0] + s), None
+                                                        sample_idx=base[0] + s,
+                                                        qmc_words=qwords), None
 
             accum, _ = jax.lax.scan(
                 one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -216,6 +223,7 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
         )
         def shard_step(scene, camera, key, pids, tgt_and_valid):
             tgt, vmask = tgt_and_valid[:, :3], tgt_and_valid[:, 3]
+            qwords = qmc.seed_words(key) if camera.qmc else None
 
             def local_loss(params):
                 s = scene.replace(textures=scene.textures.replace(
@@ -224,7 +232,8 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
                 def one_sample(accum, samp):
                     k = jax.random.fold_in(key, samp)
                     return accum + integrator.render_sample(
-                        s, camera, k, pids, sample_idx=samp), None
+                        s, camera, k, pids, sample_idx=samp,
+                        qmc_words=qwords), None
 
                 accum, _ = jax.lax.scan(
                     one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
@@ -281,6 +290,7 @@ def render_loss_and_grad_sharded_2d(scene, camera, key, target, mesh: Mesh,
         )
         def shard_step(scene, camera, key, pids, tgt_and_valid, base):
             tgt, vmask = tgt_and_valid[:, :3], tgt_and_valid[:, 3]
+            qwords = qmc.seed_words(key) if camera.qmc else None
 
             def local_loss(params):
                 s = scene.replace(textures=scene.textures.replace(
@@ -289,7 +299,8 @@ def render_loss_and_grad_sharded_2d(scene, camera, key, target, mesh: Mesh,
                 def one_sample(accum, samp):
                     k = jax.random.fold_in(key, base[0] + samp)
                     return accum + integrator.render_sample(
-                        s, camera, k, pids, sample_idx=base[0] + samp), None
+                        s, camera, k, pids, sample_idx=base[0] + samp,
+                        qmc_words=qwords), None
 
                 accum, _ = jax.lax.scan(
                     one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
