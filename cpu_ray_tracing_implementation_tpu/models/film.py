@@ -17,9 +17,29 @@ def linear_to_gamma(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.power(jnp.maximum(img, 0.0), GAMMA)
 
 
-def to_bytes(img) -> np.ndarray:
-    """linear [H,W,3] float -> uint8 with gamma 1/2.2 and a clamp."""
-    g = np.asarray(linear_to_gamma(jnp.asarray(img)))
+def tonemap(img, mode: str | None = None):
+    """HDR -> displayable-range operator applied BEFORE gamma.
+
+    None/"none": the reference behavior (hard clamp at the byte stage —
+    emissive pixels blow out). "reinhard": x/(1+x). "aces": the
+    Narkowicz 2015 rational fit of the ACES filmic curve. Both map
+    radiance >1 smoothly into [0,1) instead of clipping highlights."""
+    x = jnp.maximum(jnp.asarray(img), 0.0)
+    if mode in (None, "none"):
+        return x
+    if mode == "reinhard":
+        return x / (1.0 + x)
+    if mode == "aces":
+        return jnp.clip((x * (2.51 * x + 0.03))
+                        / (x * (2.43 * x + 0.59) + 0.14), 0.0, 1.0)
+    raise ValueError(f"unknown tonemap mode {mode!r}")
+
+
+def to_bytes(img, tonemap_mode: str | None = None) -> np.ndarray:
+    """linear [H,W,3] float -> uint8: optional tone map, gamma 1/2.2,
+    clamp."""
+    g = np.asarray(linear_to_gamma(tonemap(jnp.asarray(img),
+                                           tonemap_mode)))
     g = np.nan_to_num(g, nan=0.0, posinf=1.0, neginf=0.0)
     return (255.999 * np.clip(g, 0.0, 0.999)).astype(np.uint8)
 
@@ -35,10 +55,10 @@ def write_ppm(path: str, img) -> None:
         f.write("\n")
 
 
-def write_png(path: str, img) -> None:
+def write_png(path: str, img, tonemap_mode: str | None = None) -> None:
     from PIL import Image
 
-    Image.fromarray(to_bytes(img)).save(path)
+    Image.fromarray(to_bytes(img, tonemap_mode)).save(path)
 
 
 def write_exr(path: str, img, half: bool = False) -> None:

@@ -239,6 +239,30 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
+                              spp: int, unroll: tuple = (1, 1)
+                              ) -> jnp.ndarray:
+    """Radiance SUM over the sample range for an arbitrary pixel-id
+    subset [N,3] — the building block of tiled rendering (pixel-id keyed
+    RNG makes any pixel partition reproduce the full-frame samples)."""
+    qmc_words = qmc.seed_words(key) if camera.qmc else None
+    sample_fn = jax.checkpoint(
+        lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
+                                       unroll=unroll[0], sample_idx=s_abs,
+                                       qmc_words=qmc_words))
+
+    def one_sample(accum, s):
+        s_abs = sample_offset + s
+        k = jax.random.fold_in(key, s_abs)
+        return accum + sample_fn(k, s_abs), None
+
+    zero = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32)
+    accum, _ = jax.lax.scan(one_sample, zero, jnp.arange(spp),
+                            unroll=unroll[1])
+    return accum
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
 def accumulate_samples(scene, camera, key, sample_offset, spp: int,
                        unroll: tuple = (1, 1)) -> jnp.ndarray:
     """Radiance SUM over samples [sample_offset, sample_offset+spp) for all
@@ -488,3 +512,30 @@ def render_image(scene, camera, key, spp: int | None = None,
     unroll = _default_unroll() if unroll is None else unroll
     accum = accumulate_samples(scene, camera, key, 0, spp, unroll=unroll)
     return (accum / spp).reshape(camera.height, camera.width, 3)
+
+
+def render_image_tiled(scene, camera, key, spp: int | None = None,
+                       tile_pixels: int = 1 << 18):
+    """render_image for frames too large for one dispatch: the host loops
+    over fixed-size pixel tiles (ONE compiled shape — the tail tile pads
+    with repeated ids and discards the extras). Pixel-id keyed RNG makes
+    the result identical to the untiled render for any tile size; HBM
+    high-water per dispatch drops from O(W*H) lanes to O(tile_pixels).
+    Beyond-parity: the reference's row-parallel loop (src/camera.h:158)
+    holds the whole frame in memory."""
+    import numpy as np
+
+    spp = camera.spp if spp is None else spp
+    unroll = _default_unroll()
+    n_pix = camera.width * camera.height
+    tile = min(tile_pixels, n_pix)
+    out = np.zeros((n_pix, 3), np.float32)
+    for start in range(0, n_pix, tile):
+        n_real = min(tile, n_pix - start)
+        ids = np.arange(start, start + tile, dtype=np.int32)
+        ids[n_real:] = start  # pad rows discarded below
+        acc = accumulate_samples_subset(scene, camera, key,
+                                        jnp.asarray(ids), 0, spp,
+                                        unroll=unroll)
+        out[start:start + n_real] = np.asarray(acc)[:n_real]
+    return (out / spp).reshape(camera.height, camera.width, 3)

@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aovs", default=None, metavar="PREFIX",
                    help="also write first-hit AOV buffers (normal/albedo/"
                         "depth/coverage) as PREFIX_<name>.png")
+    p.add_argument("--tonemap", choices=("none", "reinhard", "aces"),
+                   default=None,
+                   help="HDR tone map before gamma for png/ppm output "
+                        "(default none = reference-parity hard clamp)")
+    p.add_argument("--tile-pixels", type=int, default=None, metavar="N",
+                   help="render in fixed N-pixel tiles (bounds device "
+                        "memory for very large frames; identical output)")
     p.add_argument("--qmc", action="store_true",
                    help="Owen-scrambled Sobol sampling: every dimension "
                         "pair draws from a per-pixel-scrambled (0,2)-"
@@ -75,7 +82,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
-               "denoise", "aovs", "adaptive", "clamp", "qmc")
+               "denoise", "aovs", "adaptive", "clamp", "qmc", "tonemap",
+               "tile_pixels")
 
 
 def main(argv=None) -> int:
@@ -172,6 +180,9 @@ def main(argv=None) -> int:
             print(f"Adaptive spp: mean {spp_map.mean():.1f}, "
                   f"min {spp_map.min()}, max {spp_map.max()} "
                   f"(budget {cam.spp})")
+        elif args.tile_pixels:
+            img = integrator.render_image_tiled(scene, cam, key,
+                                                tile_pixels=args.tile_pixels)
         elif args.sharded and len(jax.devices()) > 1:
             from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
 
@@ -206,11 +217,11 @@ def main(argv=None) -> int:
     print(f"Done in {dt:.2f}s ({rays / dt / 1e6:.2f}M camera rays/s)")
 
     if fmt == "ppm":
-        film.write_ppm(out, a)
+        film.write_ppm(out, np.asarray(film.tonemap(a, args.tonemap)))
     elif fmt == "exr":
-        film.write_exr(out, a)
+        film.write_exr(out, a)  # EXR keeps raw linear radiance
     else:
-        film.write_png(out, a)
+        film.write_png(out, a, tonemap_mode=args.tonemap)
     print(f"Wrote {out}")
     return 0
 
