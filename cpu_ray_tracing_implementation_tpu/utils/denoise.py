@@ -59,10 +59,37 @@ def _local_std(luma: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(s2 / 9.0 - mu * mu, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
+def _despike(img: jnp.ndarray) -> jnp.ndarray:
+    """Firefly suppression: a pixel whose luminance exceeds its 8
+    neighbors' mean + 3 std collapses to the neighbor mean (color
+    direction preserved). Isolated bright speckles otherwise survive the
+    wavelet pass — they inflate the local variance estimate enough to
+    widen their own color gate and ride through every iteration."""
+    luma = _luminance(img)
+    s = jnp.zeros_like(luma)
+    s2 = jnp.zeros_like(luma)
+    csum = jnp.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            q = _shift(luma, dy, dx)
+            s = s + q
+            s2 = s2 + q * q
+            csum = csum + _shift(img, dy, dx)
+    mu = s / 8.0
+    sd = jnp.sqrt(jnp.maximum(s2 / 8.0 - mu * mu, 0.0))
+    spike = luma > mu + 3.0 * sd + 1e-4
+    # keep the pixel's chroma, rescale its energy to the neighbor level
+    scale = jnp.where(spike, (mu + sd) / jnp.maximum(luma, 1e-8), 1.0)
+    return jnp.where(spike, img * scale, img)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "despike"))
 def denoise(img: jnp.ndarray, aovs: dict, *, iterations: int = 4,
             sigma_color: float = 3.0, sigma_normal: float = 64.0,
-            sigma_depth: float = 0.15) -> jnp.ndarray:
+            sigma_depth: float = 0.15, despike: bool = True
+            ) -> jnp.ndarray:
     """Denoised [H,W,3] linear-radiance image.
 
     ``img``: the beauty render (models/integrator.render_image output).
@@ -81,6 +108,8 @@ def denoise(img: jnp.ndarray, aovs: dict, *, iterations: int = 4,
     alb = jnp.where(coverage > 0.5,
                     jnp.maximum(aovs["albedo"], 0.02), 1.0)
     out = img / alb
+    if despike:
+        out = _despike(out)
 
     for i in range(iterations):
         step = 1 << i

@@ -76,6 +76,24 @@ def test_denoise_reduces_mse():
     assert mse_out < 0.6 * mse_in, (mse_in, mse_out)
 
 
+def test_despike_kills_isolated_firefly():
+    """A lone 100x-bright pixel on a flat lit plane must be suppressed,
+    while the rest of the image is untouched (despiking happens in
+    demodulated space, so textured regions are safe)."""
+    img = np.full((16, 16, 3), 0.5, np.float32)
+    img[8, 8] = 40.0
+    bufs = {
+        "normal": np.broadcast_to(np.array([0, 0, 1.0], np.float32),
+                                  (16, 16, 3)).copy(),
+        "albedo": np.full((16, 16, 3), 0.5, np.float32),
+        "depth": np.ones((16, 16, 1), np.float32),
+        "coverage": np.ones((16, 16, 1), np.float32),
+    }
+    out = np.asarray(denoise.denoise(img, bufs, iterations=1))
+    assert out[8, 8].max() < 2.0, out[8, 8]
+    np.testing.assert_allclose(out[:4, :4], 0.5, rtol=1e-3)
+
+
 def test_denoise_nearly_idempotent_on_converged_input():
     """A high-spp render passes through the filter nearly unchanged: the
     variance-adaptive color gate tightens where the estimator has
