@@ -487,6 +487,27 @@ def dispersion_prism(width=None, spp=None, max_depth=None):
     return b.build(), cam.perspective(w, 1.0, (0, 0, 0), (0, 0, -3), 1, 40.0, s, d)
 
 
+def sunlit_spheres(width=None, spp=None, max_depth=None):
+    """Beyond-parity extension: environment-light importance sampling
+    (ops/envlight.py). A small bright sun patch on a dim sky drives the
+    lighting; `importance_sample=True` registers the background in the MIS
+    mixture so diffuse surfaces find the sun by construction (measured
+    ~14x lower variance than BSDF-only at equal spp; tests/test_envlight.py)."""
+    w, s, d = _cam_args(width, spp, max_depth, 400, 50, 5)
+    sky = np.full((64, 128, 3), 8.0, np.float32)
+    for j in range(64):  # soft vertical gradient, byte scale
+        sky[j] += 30.0 * (1.0 - abs(j - 20) / 44.0)
+    sky[14:18, 30:35] = 255.0  # the sun
+    b = SceneBuilder()
+    b.sphere((0, -1000, 0), 1000.0, b.lambertian((0.7, 0.7, 0.7)))
+    b.sphere((-1.6, 0.8, 0), 0.8, b.lambertian((0.7, 0.3, 0.2)))
+    b.sphere((0.0, 0.8, 0), 0.8, b.metal((0.8, 0.8, 0.9), 0.05))
+    b.sphere((1.6, 0.8, 0), 0.8, b.gloss((0.2, 0.5, 0.3), 0.8, 0.3))
+    b.set_background(b.picture(sky), importance_sample=True)
+    return b.build(), cam.perspective(w, 1.78, (0, 1.4, 5.5), (0, 0.8, 0),
+                                      1, 35.0, s, d)
+
+
 SCENES = {
     "three_material_ball": three_material_ball,
     "three_material_ball_with_defocus_blur": three_material_ball_with_defocus_blur,
@@ -514,4 +535,5 @@ SCENES = {
     "cornell_box_with_sphere_light": cornell_box_with_sphere_light,
     "textured_fox": textured_fox,
     "dispersion_prism": dispersion_prism,
+    "sunlit_spheres": sunlit_spheres,
 }

@@ -157,6 +157,13 @@ class Scene:
     # src/sphere.h:76-81); None = no sphere lights
     sphere_lights: jnp.ndarray | None = None
     background: int = struct.field(pytree_node=False, default=-1)  # texture id or -1
+    # environment-light importance tables (ops/envlight.py; built when
+    # set_background(..., importance_sample=True)): [H,W] solid-angle pdf
+    # + row/col CDFs. None = background found by BSDF sampling only (the
+    # reference behavior, src/camera.h:205-210).
+    env_pdf: jnp.ndarray | None = None
+    env_row_cdf: jnp.ndarray | None = None
+    env_col_cdf: jnp.ndarray | None = None
     # static feature flags: lets the integrator skip texture/volume branches
     # the scene never uses (shapes are static, so this is trace-time constant)
     tex_types_used: tuple = struct.field(pytree_node=False, default=())
@@ -208,8 +215,13 @@ class Scene:
         return 0 if self.sphere_lights is None else int(self.sphere_lights.shape[0])
 
     @property
+    def has_env_light(self) -> bool:
+        return self.env_pdf is not None
+
+    @property
     def has_lights(self) -> bool:
-        return int(self.lights.shape[0]) > 0 or self.n_sphere_lights > 0
+        return (int(self.lights.shape[0]) > 0 or self.n_sphere_lights > 0
+                or self.has_env_light)
 
 
 def _rot_matrix(axis: str, degrees: float) -> np.ndarray:
@@ -258,6 +270,8 @@ class SceneBuilder:
         self._lights = []
         self._sphere_lights = []
         self._background = -1
+        self._env_importance = False
+        self._env_res = (64, 128)
         self._seed = seed
         self._value_res = value_noise_resolution
 
@@ -439,8 +453,15 @@ class SceneBuilder:
         (src/sphere.h:76-81); no reference scene uses them."""
         self._sphere_lights.append(int(sphere_id))
 
-    def set_background(self, tex_id: int):
+    def set_background(self, tex_id: int, importance_sample: bool = False,
+                       env_res: tuple = (64, 128)):
+        """``importance_sample=True`` registers the background as an MIS
+        light: its luminance is tabulated on an (H, W) equirect grid at
+        build time and directions are drawn proportional to it
+        (ops/envlight.py). Default off = reference-parity BSDF-only."""
         self._background = int(tex_id)
+        self._env_importance = bool(importance_sample)
+        self._env_res = tuple(env_res)
 
     # beyond this centroid distance from the origin, geometry is recentered
     # at build time (f32 catastrophic-cancellation guard; see Scene.world_offset)
@@ -719,7 +740,7 @@ class SceneBuilder:
             acc(vc - vr, vc + vr)
         have_bounds = bool(np.isfinite(blo).all() and np.isfinite(bhi).all())
 
-        return Scene(
+        scene = Scene(
             spheres=sph,
             quads=qds,
             tris=tri,
@@ -748,3 +769,14 @@ class SceneBuilder:
             world_offset=(jnp.asarray(world_offset, jnp.float32)
                           if world_offset is not None else None),
         )
+
+        if self._env_importance and self._background >= 0:
+            # needs the built scene (texture tables) to rasterize the
+            # background's luminance grid
+            from cpu_ray_tracing_implementation_tpu.ops import envlight
+
+            pdf, row_cdf, col_cdf = envlight.build_tables(
+                scene, self._env_res)
+            scene = scene.replace(env_pdf=pdf, env_row_cdf=row_cdf,
+                                  env_col_cdf=col_cdf)
+        return scene

@@ -73,15 +73,17 @@ def _sphere_cos_max(origin, center, rad):
 
 def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
     """Direction to a uniformly chosen light: a uniform point on a light
-    quad (src/quad.h:75-78, src/hittable_list.h:39-50), or a solid-angle
+    quad (src/quad.h:75-78, src/hittable_list.h:39-50), a solid-angle
     cone sample toward a light sphere (ops/sampling.cone_dir — the correct
-    math the reference stubs at src/sphere.h:81)."""
+    math the reference stubs at src/sphere.h:81), or an importance-sampled
+    environment direction (ops/envlight.py)."""
     n_quad = scene.lights.shape[0]
     n_sph = scene.n_sphere_lights
-    total = n_quad + n_sph
+    n_env = 1 if scene.has_env_light else 0
+    total = n_quad + n_sph + n_env
     lidx = jnp.minimum((u_pick * total).astype(jnp.int32), total - 1)
 
-    quad_dir = None
+    out = None
     if n_quad:
         qid = tbl.take_rows(scene.lights, jnp.minimum(lidx, n_quad - 1))
         n_q = scene.quads.corner.shape[0]
@@ -90,21 +92,25 @@ def light_sample(scene, origin: jnp.ndarray, u_pick, u1, u2) -> jnp.ndarray:
         eu = tbl.take_rows(scene.quads.eu, qid, oh)
         ev = tbl.take_rows(scene.quads.ev, qid, oh)
         p = corner + u1[:, None] * eu + u2[:, None] * ev
-        quad_dir = p - origin
-    if n_sph == 0:
-        return quad_dir
+        out = p - origin
+    if n_sph:
+        sid = tbl.take_rows(scene.sphere_lights,
+                            jnp.clip(lidx - n_quad, 0, n_sph - 1))
+        n_s = scene.spheres.c0.shape[0]
+        oh_s = tbl.onehot(sid, n_s) if n_s <= tbl.MAX_ONEHOT else None
+        center = tbl.take_rows(scene.spheres.c0, sid, oh_s)
+        rad = tbl.take_rows(scene.spheres.rad, sid, oh_s)
+        dc, cos_max = _sphere_cos_max(origin, center, rad)
+        sph_dir = smp.cone_dir(vm.normalize(dc), cos_max, u1, u2)
+        out = sph_dir if out is None else jnp.where(
+            (lidx >= n_quad)[:, None], sph_dir, out)
+    if n_env:
+        from cpu_ray_tracing_implementation_tpu.ops import envlight
 
-    sid = tbl.take_rows(scene.sphere_lights,
-                        jnp.clip(lidx - n_quad, 0, n_sph - 1))
-    n_s = scene.spheres.c0.shape[0]
-    oh_s = tbl.onehot(sid, n_s) if n_s <= tbl.MAX_ONEHOT else None
-    center = tbl.take_rows(scene.spheres.c0, sid, oh_s)
-    rad = tbl.take_rows(scene.spheres.rad, sid, oh_s)
-    dc, cos_max = _sphere_cos_max(origin, center, rad)
-    sph_dir = smp.cone_dir(vm.normalize(dc), cos_max, u1, u2)
-    if n_quad == 0:
-        return sph_dir
-    return jnp.where((lidx >= n_quad)[:, None], sph_dir, quad_dir)
+        env_dir = envlight.sample(scene, u1, u2)
+        out = env_dir if out is None else jnp.where(
+            (lidx >= n_quad + n_sph)[:, None], env_dir, out)
+    return out
 
 
 def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -119,9 +125,18 @@ def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     """
     n_quad = int(scene.lights.shape[0])
     n_sph = scene.n_sphere_lights
-    total = n_quad + n_sph
+    n_env = 1 if scene.has_env_light else 0
+    total = n_quad + n_sph + n_env
+    env_term = 0.0
+    if n_env:
+        from cpu_ray_tracing_implementation_tpu.ops import envlight
+
+        env_term = envlight.pdf(scene, direction)
     if n_quad == 0:
-        return _sphere_light_pdf_sum(scene, origin, direction) / total
+        s = env_term
+        if n_sph:
+            s = s + _sphere_light_pdf_sum(scene, origin, direction)
+        return s / total
     qid = scene.lights                                  # [L]
     corner = scene.quads.corner[qid]                    # [L,3]
     eu = scene.quads.eu[qid]
@@ -156,7 +171,7 @@ def light_pdf(scene, origin: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     quad_sum = jnp.sum(pdf, axis=-1)
     if n_sph:
         quad_sum = quad_sum + _sphere_light_pdf_sum(scene, origin, direction)
-    return quad_sum / total
+    return (quad_sum + env_term) / total
 
 
 def _sphere_light_pdf_sum(scene, origin: jnp.ndarray,
