@@ -2,7 +2,7 @@
 
 Beyond-parity extension (the reference renders a fixed spp everywhere,
 src/camera.h:163-171): pixels sample in fixed-size chunks until their 95%
-confidence interval of mean luminance falls under a relative tolerance;
+per-channel confidence interval falls under a relative tolerance;
 converged pixels stop paying. Flat, directly-lit regions converge in the
 first rounds while light edges / glass / shadow penumbrae keep sampling —
 the total sample budget concentrates where the estimator is actually
@@ -36,17 +36,15 @@ from cpu_ray_tracing_implementation_tpu.models import integrator
 from cpu_ray_tracing_implementation_tpu.ops import qmc
 
 
-def _luma(rgb: jnp.ndarray) -> jnp.ndarray:
-    return (0.2126 * rgb[..., 0] + 0.7152 * rgb[..., 1]
-            + 0.0722 * rgb[..., 2])
-
-
 @functools.partial(jax.jit, static_argnames=("spp",))
 def _accumulate_subset(scene, camera, key, pixel_ids, sample_offset,
                        spp: int):
-    """(sum_rgb [n,3], sum_luma [n], sum_luma_sq [n]) over samples
-    [sample_offset, sample_offset + spp) for the given pixel ids — the
-    same per-sample stream as integrator.accumulate_samples."""
+    """(sum_rgb [n,3], sum_rgb_sq [n,3]) over samples [sample_offset,
+    sample_offset + spp) for the given pixel ids — the same per-sample
+    stream as integrator.accumulate_samples. Second moments are tracked
+    PER CHANNEL: a luminance-only statistic lets chroma-noisy pixels
+    (e.g. red/blue emitters of equal luma, or hero-wavelength color
+    noise) report a zero CI and stop while still visibly noisy."""
     n = pixel_ids.shape[0]
     qmc_words = qmc.seed_words(key) if camera.qmc else None
 
@@ -56,11 +54,9 @@ def _accumulate_subset(scene, camera, key, pixel_ids, sample_offset,
         rad = integrator.render_sample(scene, camera, k, pixel_ids,
                                        sample_idx=s_abs,
                                        qmc_words=qmc_words)
-        l = _luma(rad)
-        return (acc[0] + rad, acc[1] + l, acc[2] + l * l), None
+        return (acc[0] + rad, acc[1] + rad * rad), None
 
-    zero = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n,), jnp.float32),
-            jnp.zeros((n,), jnp.float32))
+    zero = (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3), jnp.float32))
     acc, _ = jax.lax.scan(one_sample, zero, jnp.arange(spp))
     return acc
 
@@ -82,10 +78,10 @@ def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
     """Adaptive render: [H,W,3] image (and optionally the [H,W] per-pixel
     sample-count map).
 
-    A pixel stops sampling once its 95% CI half-width of mean luminance is
-    below ``rel_tol * (mean + 0.05)`` (the +0.05 keeps near-black pixels
-    from demanding unbounded precision). ``rel_tol=0`` disables stopping:
-    the result is exactly the uniform ``max_spp`` render.
+    A pixel stops sampling once EVERY channel's 95% CI half-width of the
+    mean is below ``rel_tol * (mean + 0.05)`` (the +0.05 keeps near-black
+    pixels from demanding unbounded precision). ``rel_tol=0`` disables
+    stopping: the result is exactly the uniform ``max_spp`` render.
 
     ``zero_var_spp``: a pixel whose samples are ALL ZERO so far has a zero
     confidence interval that proves nothing (a dark indirect-only corner
@@ -98,8 +94,7 @@ def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
     n_pix = camera.width * camera.height
 
     sum_rgb = np.zeros((n_pix, 3), np.float64)
-    sum_l = np.zeros((n_pix,), np.float64)
-    sum_l2 = np.zeros((n_pix,), np.float64)
+    sum_rgb2 = np.zeros((n_pix, 3), np.float64)
     counts = np.zeros((n_pix,), np.int64)
 
     active = np.arange(n_pix, dtype=np.int32)
@@ -107,23 +102,25 @@ def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
     while done_spp < max_spp and active.size:
         step = int(min(chunk_spp, max_spp - done_spp))
         padded = _pad_pow2(active)
-        s_rgb, s_l, s_l2 = _accumulate_subset(
+        s_rgb, s_rgb2 = _accumulate_subset(
             scene, camera, key, jnp.asarray(padded), done_spp, step)
         k = active.size
         sum_rgb[active] += np.asarray(s_rgb)[:k]
-        sum_l[active] += np.asarray(s_l)[:k]
-        sum_l2[active] += np.asarray(s_l2)[:k]
+        sum_rgb2[active] += np.asarray(s_rgb2)[:k]
         counts[active] += step
         done_spp += step
 
         if done_spp >= min_spp and rel_tol > 0.0 and done_spp < max_spp:
-            n = counts[active].astype(np.float64)
-            mean = sum_l[active] / n
-            var = np.maximum(sum_l2[active] / n - mean * mean, 0.0)
+            n = counts[active].astype(np.float64)[:, None]
+            mean = sum_rgb[active] / n                    # [k,3]
+            var = np.maximum(sum_rgb2[active] / n - mean * mean, 0.0)
             var *= n / np.maximum(n - 1.0, 1.0)  # Bessel correction
             ci = 1.96 * np.sqrt(var / n)
-            unsettled = (sum_l[active] == 0.0) & (n < zero_var_spp)
-            active = active[(ci > rel_tol * (mean + 0.05)) | unsettled]
+            # a pixel stops only when EVERY channel's CI is inside
+            unconverged = (ci > rel_tol * (mean + 0.05)).any(axis=1)
+            unsettled = ((sum_rgb[active].sum(axis=1) == 0.0)
+                         & (n[:, 0] < zero_var_spp))
+            active = active[unconverged | unsettled]
 
     img = (sum_rgb / np.maximum(counts, 1)[:, None]).astype(np.float32)
     img = img.reshape(camera.height, camera.width, 3)

@@ -32,21 +32,31 @@ from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
 
 
-def _first_hit(scene, camera, key, pixel_ids, sample_idx):
+def _first_hit(scene, camera, key, pixel_ids, sample_idx, qmc_words=None):
     """One sample's first-hit features, mirroring render_sample's raygen
     and bounce-0 uniform draws (so volume boundaries are sampled with the
-    beauty pass's stream)."""
+    beauty pass's stream) — including the Owen-Sobol stream when
+    camera.qmc is set, so guide buffers stay aligned with the beauty
+    samples' sub-pixel positions."""
+    from cpu_ray_tracing_implementation_tpu.ops import qmc
+
+    nslot = mat_ops.NSLOT + scene.n_volumes
     k_cam, k_path = jax.random.split(key)
-    u_cam = integrator._per_ray_uniforms(k_cam, pixel_ids,
-                                         cam_mod.N_CAM_SLOTS)
-    u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
+    if camera.qmc:
+        u_cam = qmc.uniforms(qmc_words, pixel_ids, sample_idx, 0,
+                             qmc.CAM_GROUP, qmc.CAM_DIM)
+        b_groups, b_dims, _ = qmc.bounce_layout(nslot)
+        u = qmc.uniforms(qmc_words, pixel_ids, sample_idx,
+                         qmc.N_CAM_GROUPS, b_groups, b_dims)
+    else:
+        u_cam = integrator._per_ray_uniforms(k_cam, pixel_ids,
+                                             cam_mod.N_CAM_SLOTS)
+        u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam, sample_idx)
+        u = integrator._per_ray_uniforms(jax.random.fold_in(k_path, 0),
+                                         pixel_ids, nslot)
     org, dirs, time = cam_mod.generate_rays(camera, pixel_ids, u_cam)
     if scene.world_offset is not None:
         org = org - scene.world_offset[None, :]
-
-    nslot = mat_ops.NSLOT + scene.n_volumes
-    u = integrator._per_ray_uniforms(jax.random.fold_in(k_path, 0),
-                                     pixel_ids, nslot)
     alive = jnp.ones(pixel_ids.shape, bool)
     hit = isect.intersect_brute(scene, org, dirs, time, integrator.T_MIN,
                                 u[:, mat_ops.SLOT_VOLUME0:], active=alive)
@@ -69,10 +79,17 @@ def render_aovs(scene, camera, key, spp: int | None = None) -> dict:
     spp = camera.spp if spp is None else spp
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
+    if camera.qmc:
+        from cpu_ray_tracing_implementation_tpu.ops import qmc
+
+        qmc_words = qmc.seed_words(key)
+    else:
+        qmc_words = None
 
     def one_sample(acc, s):
         k = jax.random.fold_in(key, s)
-        n, a, d, c = _first_hit(scene, camera, k, pixel_ids, s)
+        n, a, d, c = _first_hit(scene, camera, k, pixel_ids, s,
+                                qmc_words=qmc_words)
         return (acc[0] + n, acc[1] + a, acc[2] + d, acc[3] + c), None
 
     zeros3 = jnp.zeros((n_pix, 3), jnp.float32)

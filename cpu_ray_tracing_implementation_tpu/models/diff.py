@@ -29,27 +29,36 @@ from cpu_ray_tracing_implementation_tpu.models import integrator
 
 # ---------------------------------------------------------------- params
 def scene_params(scene) -> dict:
-    """The differentiable leaves of a scene, as a flat dict pytree."""
-    return {
+    """The differentiable leaves of a scene, as a flat dict pytree.
+
+    ``mat_dispersion`` appears only when Scene.has_dispersion is set: that
+    flag is STATIC, so on a scene built without dispersion the table never
+    enters the render graph — exposing it would hand the optimizer a
+    parameter with an identically-zero gradient (a silent no-op fit)."""
+    p = {
         "tex_color0": scene.textures.color0,
         "tex_color1": scene.textures.color1,
         "mat_fuzz": scene.materials.fuzz,
         "mat_ior": scene.materials.ior,
         "mat_smoothness": scene.materials.smoothness,
         "mat_spec_prob": scene.materials.spec_prob,
-        "mat_dispersion": scene.materials.dispersion,
     }
+    if scene.has_dispersion:
+        p["mat_dispersion"] = scene.materials.dispersion
+    return p
 
 
 def apply_scene_params(scene, params: dict):
+    mats = scene.materials.replace(
+        fuzz=params["mat_fuzz"], ior=params["mat_ior"],
+        smoothness=params["mat_smoothness"],
+        spec_prob=params["mat_spec_prob"])
+    if "mat_dispersion" in params:
+        mats = mats.replace(dispersion=params["mat_dispersion"])
     return scene.replace(
         textures=scene.textures.replace(color0=params["tex_color0"],
                                         color1=params["tex_color1"]),
-        materials=scene.materials.replace(
-            fuzz=params["mat_fuzz"], ior=params["mat_ior"],
-            smoothness=params["mat_smoothness"],
-            spec_prob=params["mat_spec_prob"],
-            dispersion=params["mat_dispersion"]),
+        materials=mats,
     )
 
 

@@ -67,5 +67,5 @@ def write_exr(path: str, img, half: bool = False) -> None:
     reference's vendored tinyexr never exposes."""
     from cpu_ray_tracing_implementation_tpu.utils import exr
 
-    a = np.asarray(jnp.asarray(img), np.float32)
+    a = np.asarray(img, np.float32)  # handles numpy AND jax arrays
     exr.write_exr(path, np.nan_to_num(a, nan=0.0), half=half)

@@ -243,9 +243,13 @@ def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
                               spp: int, unroll: tuple = (1, 1)
                               ) -> jnp.ndarray:
     """Radiance SUM over the sample range for an arbitrary pixel-id
-    subset [N,3] — the building block of tiled rendering (pixel-id keyed
-    RNG makes any pixel partition reproduce the full-frame samples)."""
+    subset [N,3] — the building block of the full-frame and tiled renders
+    (pixel-id keyed RNG makes any pixel partition reproduce the full-frame
+    samples)."""
     qmc_words = qmc.seed_words(key) if camera.qmc else None
+    # remat per sample: the backward pass recomputes each sample's wavefront
+    # instead of storing spp x depth of [R,...] residuals — the standard
+    # jax.checkpoint FLOPs-for-HBM trade
     sample_fn = jax.checkpoint(
         lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
                                        unroll=unroll[0], sample_idx=s_abs,
@@ -275,25 +279,8 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int,
     """
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
-
-    qmc_words = qmc.seed_words(key) if camera.qmc else None
-
-    # remat per sample: the backward pass recomputes each sample's wavefront
-    # instead of storing 256 samples x depth bounces of [R,...] residuals —
-    # the standard jax.checkpoint FLOPs-for-HBM trade
-    sample_fn = jax.checkpoint(
-        lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
-                                       unroll=unroll[0], sample_idx=s_abs,
-                                       qmc_words=qmc_words))
-
-    def one_sample(accum, s):
-        s_abs = sample_offset + s
-        k = jax.random.fold_in(key, s_abs)
-        return accum + sample_fn(k, s_abs), None
-
-    accum, _ = jax.lax.scan(one_sample, jnp.zeros((n_pix, 3), jnp.float32),
-                            jnp.arange(spp), unroll=unroll[1])
-    return accum
+    return accumulate_samples_subset(scene, camera, key, pixel_ids,
+                                     sample_offset, spp, unroll=unroll)
 
 
 def _lane_uniforms(keys, n: int) -> jnp.ndarray:

@@ -158,10 +158,10 @@ class Scene:
     sphere_lights: jnp.ndarray | None = None
     background: int = struct.field(pytree_node=False, default=-1)  # texture id or -1
     # environment-light importance tables (ops/envlight.py; built when
-    # set_background(..., importance_sample=True)): [H,W] solid-angle pdf
-    # + row/col CDFs. None = background found by BSDF sampling only (the
-    # reference behavior, src/camera.h:205-210).
-    env_pdf: jnp.ndarray | None = None
+    # set_background(..., importance_sample=True)): [H,W] per-texel
+    # probability + row/col CDFs. None = background found by BSDF sampling
+    # only (the reference behavior, src/camera.h:205-210).
+    env_texel_p: jnp.ndarray | None = None
     env_row_cdf: jnp.ndarray | None = None
     env_col_cdf: jnp.ndarray | None = None
     # static feature flags: lets the integrator skip texture/volume branches
@@ -216,7 +216,7 @@ class Scene:
 
     @property
     def has_env_light(self) -> bool:
-        return self.env_pdf is not None
+        return self.env_texel_p is not None
 
     @property
     def has_lights(self) -> bool:
@@ -777,6 +777,6 @@ class SceneBuilder:
 
             pdf, row_cdf, col_cdf = envlight.build_tables(
                 scene, self._env_res)
-            scene = scene.replace(env_pdf=pdf, env_row_cdf=row_cdf,
+            scene = scene.replace(env_texel_p=pdf, env_row_cdf=row_cdf,
                                   env_col_cdf=col_cdf)
         return scene

@@ -41,8 +41,13 @@ def dir_from_uv(u, v):
 
 
 def build_tables(scene, res=(64, 128)):
-    """(pdf [H,W] solid-angle, row_cdf [H], col_cdf [H,W]) for the scene's
-    background texture, host-side at build time."""
+    """(p_texel [H,W] per-texel probability, row_cdf [H], col_cdf [H,W])
+    for the scene's background texture, host-side at build time.
+
+    The stored table is the DISCRETE texel probability; pdf() converts it
+    to a solid-angle density at the actual direction's sin(theta) — using
+    the texel-center sin would misstate the realized density within a
+    texel (unboundedly so in the polar rows) and bias every MIS weight."""
     h, w = res
     v = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
     u = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w
@@ -59,15 +64,11 @@ def build_tables(scene, res=(64, 128)):
     total = jnp.sum(mass)
     p_texel = mass / total                                # [H,W]
 
-    # solid angle of texel (j, i): (2 pi / W) * (pi / H) * sin(theta_j)
-    omega = (2.0 * PI * PI / (h * w)) * jnp.maximum(sin_t, 1e-6)
-    pdf = p_texel / omega
-
     row_mass = jnp.sum(p_texel, axis=1)                   # [H]
     row_cdf = jnp.cumsum(row_mass)
     col_cdf = jnp.cumsum(p_texel / jnp.maximum(row_mass, 1e-20)[:, None],
                          axis=1)
-    return (pdf.astype(jnp.float32), row_cdf.astype(jnp.float32),
+    return (p_texel.astype(jnp.float32), row_cdf.astype(jnp.float32),
             col_cdf.astype(jnp.float32))
 
 
@@ -91,8 +92,8 @@ def sample(scene, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
 
     The CDF-segment remainders are re-used as intra-texel jitter (exact:
     conditionally uniform given the texel), so the realized density is
-    EXACTLY the pdf() table."""
-    h, w = scene.env_pdf.shape
+    EXACTLY what pdf() reports."""
+    h, w = scene.env_texel_p.shape
     row, fr = _pick(scene.env_row_cdf, u1)                # [R]
     col_cdf_rows = scene.env_col_cdf[row]                 # [R,W]
     col, fc = _pick(col_cdf_rows, u2)
@@ -102,11 +103,16 @@ def sample(scene, u1: jnp.ndarray, u2: jnp.ndarray) -> jnp.ndarray:
 
 
 def pdf(scene, direction: jnp.ndarray) -> jnp.ndarray:
-    """[R] solid-angle pdf of ``sample`` for the given directions."""
+    """[R] solid-angle pdf of ``sample`` for the given directions.
+
+    Density of a texel sampled with probability P, uniform in (u, v):
+    P * H * W / (2 pi^2 sin(theta)) — with sin at the ACTUAL direction,
+    since dOmega = 2 pi^2 sin(theta) du dv / (H W) varies within a texel."""
     from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
 
-    h, w = scene.env_pdf.shape
+    h, w = scene.env_texel_p.shape
     u, v = isect.sphere_uv(vm.normalize(direction))
     j = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
     i = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    return scene.env_pdf[j, i]
+    sin_t = jnp.maximum(jnp.sin(PI * v), 1e-4)
+    return scene.env_texel_p[j, i] * (h * w) / (2.0 * PI * PI * sin_t)

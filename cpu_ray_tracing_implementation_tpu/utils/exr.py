@@ -106,6 +106,8 @@ def read_exr(path: str) -> np.ndarray:
         raise ValueError(f"{path}: not an EXR file")
     if version & 0x200:
         raise ValueError(f"{path}: tiled EXR unsupported by minimal codec")
+    if version & 0x800:
+        raise ValueError(f"{path}: deep-data EXR unsupported")
     if version & 0x1000:
         raise ValueError(f"{path}: multi-part EXR unsupported")
 
@@ -127,8 +129,12 @@ def read_exr(path: str) -> np.ndarray:
             p = 0
             while payload[p] != 0:
                 cname, p = _read_cstr(payload, p)
-                (ptype,) = struct.unpack_from("<i", payload, p)
+                ptype, xs, ys = struct.unpack_from("<i4xii", payload, p)
                 p += 16  # type + pLinear/reserved + x/ySampling
+                if xs != 1 or ys != 1:
+                    raise ValueError(
+                        f"{path}: subsampled channel {cname!r} "
+                        f"(sampling {xs}x{ys}) unsupported")
                 channels.append((cname.decode(), ptype))
         elif name == b"compression":
             compression = payload[0]

@@ -53,7 +53,7 @@ def test_sample_density_matches_pdf():
     """Empirical texel frequencies of sample() match the tabulated texel
     probabilities (the pdf IS the sampler's density)."""
     scene = _sun_scene(True, env_res=(16, 32))
-    h, w = scene.env_pdf.shape
+    h, w = scene.env_texel_p.shape
     n = 400_000
     key = jax.random.key(0)
     u = jax.random.uniform(key, (2, n))
@@ -64,11 +64,7 @@ def test_sample_density_matches_pdf():
     counts = np.zeros((h, w))
     np.add.at(counts, (j, i), 1.0)
     emp = counts / n
-    # reconstruct texel probability from the solid-angle pdf
-    v_c = (np.arange(h) + 0.5) / h
-    omega = (2 * np.pi ** 2 / (h * w)) * np.maximum(np.sin(np.pi * v_c),
-                                                    1e-6)[:, None]
-    p_texel = np.asarray(scene.env_pdf) * omega
+    p_texel = np.asarray(scene.env_texel_p)
     # sun texels (high mass): tight relative agreement; everywhere else a
     # 5-sigma Poisson bound (low-mass texels see ~60 counts here)
     sun = p_texel > 0.01
@@ -114,6 +110,6 @@ def test_reference_scenes_unaffected():
     """Scenes without importance_sample keep env tables off (static graph
     identical to before the feature existed)."""
     scene, _ = catalog.cornell_box(width=8, spp=1, max_depth=2)
-    assert scene.env_pdf is None and not scene.has_env_light
+    assert scene.env_texel_p is None and not scene.has_env_light
     scene2, _ = catalog.skybox_and_fisheye(width=8, spp=1, max_depth=2)
-    assert scene2.env_pdf is None
+    assert scene2.env_texel_p is None
