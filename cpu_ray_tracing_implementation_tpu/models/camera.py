@@ -52,6 +52,12 @@ class Camera:
     # indexed by sample (ops/qmc.py) instead of the hash PRNG — lower
     # variance at equal spp, unbiased. Off = reference-parity PRNG.
     qmc: bool = struct.field(pytree_node=False, default=False)
+    # Russian-roulette path termination (opt-in; cam.replace(rr_depth=N) /
+    # CLI --rr-depth): from bounce N on, a path survives with probability
+    # p = clamp(max channel of throughput, 0.05, 1) and rescales by 1/p.
+    # Unbiased; the wavefront integrator turns freed lanes into new paths
+    # (real speedup), the classic scan only zeroes them. 0 = off.
+    rr_depth: int = struct.field(pytree_node=False, default=0)
     # Firefly clamp (opt-in; cam.replace(clamp=C) or CLI --clamp): each
     # path sample's radiance is min'd against C per channel before
     # accumulation — the standard production "max sample brightness"

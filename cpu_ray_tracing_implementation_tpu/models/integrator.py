@@ -79,13 +79,18 @@ def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
 
 
 def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
-                ior_shift=None):
+                ior_shift=None, rr_u=None):
     """One path segment for every lane: intersect, add miss-background /
     emission, scatter. The shared body of the classic scan integrator and
     the path-regeneration wavefront (estimator: src/camera.h:193-241).
 
     ``ior_shift``: per-path Cauchy dispersion term (spectral mode; None for
-    the RGB render)."""
+    the RGB render).
+    ``rr_u``: optional [R] uniforms enabling Russian-roulette termination
+    for this segment (camera.rr_depth): survivors of probability
+    p = clamp(max channel of throughput, 0.05, 1) rescale by 1/p —
+    unbiased, cuts the deep-path tail. The wavefront integrator turns
+    freed lanes into new paths; the classic scan only zeroes them."""
     hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
                                 u[:, mat_ops.SLOT_VOLUME0:], active=alive)
 
@@ -104,6 +109,16 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
                                                  ior_shift=ior_shift)
     alive = lit & continues
     throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
+    if rr_u is not None:
+        # lanes with rr_u < 0 are exempt this segment (bounce < rr_depth)
+        apply = rr_u >= 0.0
+        p = jnp.where(apply,
+                      jnp.clip(jnp.max(throughput, axis=-1), 0.05, 1.0),
+                      1.0)
+        survive = rr_u < p
+        throughput = jnp.where((alive & survive)[:, None],
+                               throughput / p[:, None], 0.0)
+        alive = alive & survive
     org = jnp.where(alive[:, None], hit.p, org)
     dirs = jnp.where(alive[:, None], new_dir, dirs)
     return org, dirs, time, throughput, radiance, alive
@@ -111,8 +126,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
 
 def render_rays(scene, org, dirs, time, key, max_depth: int,
                 ray_ids=None, uniforms=None, unroll: int = 1,
-                wavelength=None, qmc_words=None, sample_idx=None
-                ) -> jnp.ndarray:
+                wavelength=None, qmc_words=None, sample_idx=None,
+                rr_depth: int = 0) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -128,6 +143,9 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     ``qmc_words`` (+ ``sample_idx``): Owen-Sobol mode (camera.qmc):
     bounce uniforms come from the per-(pixel, pair) scrambled
     (0,2)-sequence at ``sample_idx`` instead of the hash PRNG.
+    ``rr_depth``: Russian roulette from that bounce on (camera.rr_depth;
+    0 = off). The RR stream folds the key with 0x5252 so all existing
+    slot streams are untouched.
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -145,6 +163,11 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
 
     if qmc_words is not None:
         b_groups, b_dims, b_ngroups = qmc.bounce_layout(nslot)
+    if rr_depth:
+        if uniforms is not None:
+            raise ValueError("rr_depth is incompatible with replayed "
+                             "uniforms (no bounce index available)")
+        k_rr = jax.random.fold_in(key, 0x5252)
 
     def bounce(carry, inputs):
         org, dirs, time, throughput, radiance, alive = carry
@@ -158,8 +181,13 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         else:
             bounce_idx = inputs
             u = _per_ray_uniforms(jax.random.fold_in(key, bounce_idx), ray_ids, nslot)
+        rr_u = None
+        if rr_depth:
+            u_rr = _per_ray_uniforms(jax.random.fold_in(k_rr, bounce_idx),
+                                     ray_ids, 1)[:, 0]
+            rr_u = jnp.where(bounce_idx >= rr_depth, u_rr, -1.0)
         return _shade_step(scene, org, dirs, time, throughput, radiance,
-                           alive, u, ior_shift=ior_shift), None
+                           alive, u, ior_shift=ior_shift, rr_u=rr_u), None
 
     init = (
         org, dirs, time,
@@ -232,7 +260,7 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
                       ray_ids=pixel_ids, unroll=unroll,
                       wavelength=wavelength,
                       qmc_words=qmc_words if camera.qmc else None,
-                      sample_idx=sample_idx)
+                      sample_idx=sample_idx, rr_depth=camera.rr_depth)
     if camera.clamp > 0.0:
         rad = jnp.minimum(rad, camera.clamp)  # firefly clamp (camera.py)
     return rad
@@ -338,6 +366,19 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         q_words = qmc.seed_words(key)
         qb_groups, qb_dims, qb_ngroups = qmc.bounce_layout(nslot)
 
+    rr_depth = camera.rr_depth
+    if rr_depth and fast:
+        # RR stream table, bitwise the classic scan's draw: row (s, b)
+        # holds bits(fold_in(fold_in(split(fold_in(key, s))[1], 0x5252), b))
+        def _rr_words(s):
+            _, k_path = jax.random.split(jax.random.fold_in(key, s))
+            k_rr = jax.random.fold_in(k_path, 0x5252)
+            return jax.vmap(lambda b: jax.random.bits(
+                jax.random.fold_in(k_rr, b), (2,), jnp.uint32))(
+                    jnp.arange(max_depth))
+
+        rr_words = jax.vmap(_rr_words)(jnp.arange(spp))
+
     dispersive = scene.has_dispersion
     if dispersive and fast:
         # seed words of the classic hero-wavelength stream: render_sample
@@ -418,10 +459,26 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
                 jax.vmap(jax.random.fold_in)(k_path, bounce), pix)
             u = _lane_uniforms(u_keys, nslot)
 
+        rr_u = None
+        if rr_depth:
+            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            b = jnp.clip(bounce, 0, max_depth - 1)
+            if fast:
+                u_rr = fastrng.uniforms(rr_words[s, b, 0], rr_words[s, b, 1],
+                                        pix, 1)[:, 0]
+            else:
+                _, k_path = path_keys(path_id)
+                k1 = jax.vmap(jax.random.fold_in, in_axes=(0, None))(
+                    k_path, 0x5252)
+                k2 = jax.vmap(jax.random.fold_in)(k1, bounce)
+                u_rr = _lane_uniforms(jax.vmap(jax.random.fold_in)(k2, pix),
+                                      1)[:, 0]
+            rr_u = jnp.where(bounce >= rr_depth, u_rr, -1.0)
+
         ior_shift = spectrum.cauchy_ior_shift(wl) if dispersive else None
         org, dirs, time, throughput, radiance, alive2 = _shade_step(
             scene, org, dirs, time, throughput, radiance, alive, u,
-            ior_shift=ior_shift)
+            ior_shift=ior_shift, rr_u=rr_u)
         bounce = bounce + 1
         alive2 = alive2 & (bounce < max_depth)
 

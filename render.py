@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "pair draws from a per-pixel-scrambled (0,2)-"
                         "sequence (lower variance at equal spp; measured "
                         ">=2x MSE win at 16 spp)")
+    p.add_argument("--rr-depth", type=int, default=None, metavar="N",
+                   help="Russian-roulette path termination from bounce N "
+                        "(unbiased; frees deep-path lanes — the wavefront "
+                        "integrator refills them)")
     p.add_argument("--clamp", type=float, default=None, metavar="C",
                    help="firefly clamp: per-sample radiance min'd against C "
                         "per channel (variance/bias trade; off by default)")
@@ -83,7 +87,7 @@ def build_parser() -> argparse.ArgumentParser:
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
                "denoise", "aovs", "adaptive", "clamp", "qmc", "tonemap",
-               "tile_pixels")
+               "tile_pixels", "rr_depth")
 
 
 def main(argv=None) -> int:
@@ -157,6 +161,8 @@ def main(argv=None) -> int:
         cam = cam.replace(clamp=args.clamp)
     if args.qmc:
         cam = cam.replace(qmc=True)
+    if args.rr_depth is not None:
+        cam = cam.replace(rr_depth=args.rr_depth)
     print(f"Rendering {scene_name}: {cam.width}x{cam.height}, "
           f"{cam.spp} spp, depth {cam.max_depth} on {jax.devices()[0].platform}")
 
