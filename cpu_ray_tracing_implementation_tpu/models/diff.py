@@ -106,23 +106,98 @@ def loss_and_grads(scene, camera, key, target, spp: int,
         scene_params(scene), camera_params(camera))
 
 
+def _fit_fingerprint(params, lr, spp, seed, optimizer) -> str:
+    """Config fingerprint guarding checkpoint resume (mirrors
+    utils/checkpoint: refusing a mismatched resume beats silently mixing
+    two optimizations)."""
+    shapes = ",".join(f"{n}:{tuple(params[n].shape)}" for n in sorted(params))
+    return f"{shapes}|lr={lr}|spp={spp}|seed={seed}|opt={optimizer}"
+
+
+def _save_fit_state(path, fingerprint, step, params, opt_state, losses):
+    import os
+
+    import numpy as np
+
+    flat, treedef = jax.tree_util.tree_flatten((params, opt_state))
+    tmp = path + ".tmp"  # np.savez appends .npz to names without it
+    np.savez(tmp,
+             __fingerprint=np.array(fingerprint),
+             __step=np.array(step),
+             __losses=np.asarray(losses, np.float64),
+             __treedef=np.array(str(treedef)),
+             **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)})
+    os.replace(tmp + ".npz", path)
+
+
+def _load_fit_state(path, fingerprint, params, opt_state):
+    """(step, params, opt_state, losses) or None (absent / mismatched)."""
+    import os
+
+    import numpy as np
+
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if str(z["__fingerprint"]) != fingerprint:
+            raise ValueError(
+                "fit checkpoint fingerprint mismatch: refusing to resume "
+                f"({z['__fingerprint']} != {fingerprint})")
+        _, treedef = jax.tree_util.tree_flatten((params, opt_state))
+        if str(z["__treedef"]) != str(treedef):
+            raise ValueError("fit checkpoint optimizer-state structure "
+                             "mismatch: refusing to resume")
+        n = sum(1 for k in z.files if k.startswith("leaf_"))
+        flat = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        params, opt_state = jax.tree_util.tree_unflatten(treedef, flat)
+        return int(z["__step"]), params, opt_state, list(z["__losses"])
+
+
 def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
               spp: int = 8, seed: int = 0, param_filter=None,
-              grad_mask=None, log=None):
-    """Gradient-descent inverse rendering on the scene parameters.
+              grad_mask=None, log=None, optimizer: str = "sgd",
+              checkpoint_path: str | None = None,
+              checkpoint_every: int = 25):
+    """Gradient-based inverse rendering on the scene parameters.
 
     ``param_filter``: optional set of param names to optimize (others
     frozen). ``grad_mask``: optional dict of per-parameter multipliers
     (broadcast against the parameter) for finer freezing — e.g. optimize a
     single texture row while the light's emission row (which shares
-    ``tex_color0``) stays pinned. Returns (optimized scene, losses)."""
+    ``tex_color0``) stays pinned.
+    ``optimizer``: "sgd" (reference-style plain descent) or "adam"
+    (optax.adam).
+    ``checkpoint_path``: atomic .npz training-state checkpoint written
+    every ``checkpoint_every`` steps; an existing file with a matching
+    config fingerprint resumes, and the RNG is keyed by the ABSOLUTE step
+    index, so a resumed fit equals the uninterrupted one exactly.
+    Returns (optimized scene, losses)."""
     params = scene_params(scene)
     names = set(params) if param_filter is None else set(param_filter)
     losses = []
     key = jax.random.key(seed)
 
+    if optimizer == "adam":
+        import optax
+
+        tx = optax.adam(lr)
+    elif optimizer == "sgd":
+        tx = None
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
+    opt_state = tx.init(params) if tx is not None else ()
+
+    start = 0
+    fp = _fit_fingerprint(params, lr, spp, seed, optimizer)
+    if checkpoint_path:
+        got = _load_fit_state(checkpoint_path, fp, params, opt_state)
+        if got is not None:
+            start, params, opt_state, losses = got
+            if log:
+                log(f"[fit] resumed at step {start}")
+
     @functools.partial(jax.jit, static_argnames=("spp_",))
-    def step(params, k, spp_):
+    def loss_grad(params, k, spp_):
         def f(p):
             s = apply_scene_params(scene, p)
             img = integrator.render_image(s, camera, k, spp=spp_,
@@ -132,13 +207,24 @@ def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
         return jax.value_and_grad(f)(params)
 
     mask = grad_mask or {}
-    for i in range(steps):
-        loss, g = step(params, jax.random.fold_in(key, i), spp)
+    for i in range(start, steps):
+        loss, g = loss_grad(params, jax.random.fold_in(key, i), spp)
         losses.append(float(loss))
-        params = {n: (jnp.clip(params[n] - lr * g[n] * mask.get(n, 1.0),
-                               0.0, None)
-                      if n in names else params[n])
-                  for n in params}
+        g = {n: g[n] * mask.get(n, 1.0) if n in names
+             else jnp.zeros_like(g[n]) for n in g}
+        if tx is not None:
+            updates, opt_state = tx.update(g, opt_state, params)
+            stepped = optax.apply_updates(params, updates)
+        else:
+            stepped = {n: params[n] - lr * g[n] for n in params}
+        # frozen params bypass the update AND the clip (exactly the old
+        # fixed-sgd behavior)
+        params = {n: jnp.clip(stepped[n], 0.0, None) if n in names
+                  else params[n] for n in params}
         if log and i % 10 == 0:
             log(f"[fit] step {i}: loss {losses[-1]:.6f}")
+        if checkpoint_path and ((i + 1) % checkpoint_every == 0
+                                or i + 1 == steps):
+            _save_fit_state(checkpoint_path, fp, i + 1, params, opt_state,
+                            losses)
     return apply_scene_params(scene, params), losses
