@@ -132,6 +132,9 @@ class Textures:
     color1: jnp.ndarray    # [X,3] checker odd
     scale: jnp.ndarray     # [X] checker cell width / perlin scale
     image_id: jnp.ndarray  # [X] int32 index into Scene.images
+    # [X] int32 image filter: 0 = nearest (reference parity,
+    # src/texture.h:68-74), 1 = bilinear (opt-in, picture(filter=))
+    tfilter: jnp.ndarray = None
 
 
 @struct.dataclass
@@ -179,6 +182,9 @@ class Scene:
     # wavelength per (pixel, sample) path and weights its radiance by the
     # normalized wavelength->RGB response). Off = bitwise the RGB render.
     has_dispersion: bool = struct.field(pytree_node=False, default=False)
+    # static: any picture texture uses bilinear filtering (keeps the
+    # 4-tap gather out of nearest-only scenes' graphs)
+    has_bilinear: bool = struct.field(pytree_node=False, default=False)
     # chunk-scan acceleration for large tables (ops/chunked.py): primitives
     # in BVH depth-first order, cut into fixed chunks with AABBs. None for
     # small tables (dense single-pass path).
@@ -277,7 +283,7 @@ class SceneBuilder:
 
     # ---------------- textures ----------------
     def _tex_row(self, **kw) -> int:
-        row = dict(ttype=TEX_SOLID, color0=(0, 0, 0), color1=(0, 0, 0), scale=1.0, image_id=0)
+        row = dict(ttype=TEX_SOLID, color0=(0, 0, 0), color1=(0, 0, 0), scale=1.0, image_id=0, tfilter=0)
         row.update(kw)
         self._texs.append(row)
         return len(self._texs) - 1
@@ -289,13 +295,16 @@ class SceneBuilder:
         """3-D position-based checker (src/texture.h:39-63)."""
         return self._tex_row(ttype=TEX_CHECKER, color0=tuple(even), color1=tuple(odd), scale=scale)
 
-    def picture(self, image: np.ndarray) -> int:
-        """Nearest-neighbor image texture, v flipped, /256 scale
-        (src/texture.h:65-78). ``image``: [h,w,3] float in [0,255]-byte scale."""
+    def picture(self, image: np.ndarray, filter: str = "nearest") -> int:
+        """Image texture, v flipped, /256 scale (src/texture.h:65-78).
+        ``image``: [h,w,3] float in [0,255]-byte scale. ``filter``:
+        "nearest" (reference parity) or "bilinear" (opt-in smoothing)."""
         img = np.ascontiguousarray(np.asarray(image, np.float32))
         assert img.ndim == 3 and img.shape[-1] == 3, img.shape
         self._imgs.append(img)
-        return self._tex_row(ttype=TEX_PICTURE, image_id=len(self._imgs) - 1)
+        tf = {"nearest": 0, "bilinear": 1}[filter]
+        return self._tex_row(ttype=TEX_PICTURE, image_id=len(self._imgs) - 1,
+                             tfilter=tf)
 
     def perlin(self, scale: float) -> int:
         return self._tex_row(ttype=TEX_PERLIN, scale=scale)
@@ -695,6 +704,7 @@ class SceneBuilder:
             color1=jnp.asarray(np.array([t["color1"] for t in self._texs], f32)),
             scale=jnp.asarray(np.array([t["scale"] for t in self._texs], f32)),
             image_id=jnp.asarray(np.array([t["image_id"] for t in self._texs], np.int32)),
+            tfilter=jnp.asarray(np.array([t["tfilter"] for t in self._texs], np.int32)),
         )
 
         grad, perm = noise_ops.make_perlin_tables(self._seed)
@@ -756,6 +766,7 @@ class SceneBuilder:
             tex_types_used=tex_types_used,
             mat_types_used=tuple(sorted({m["mtype"] for m in self._mats})),
             has_dispersion=any(m["dispersion"] != 0.0 for m in self._mats),
+            has_bilinear=any(t["tfilter"] == 1 for t in self._texs),
             counts=(len(self._sph), len(self._quads), len(self._tris), len(self._vols)),
             sphere_chunks=sphere_chunks,
             quad_chunks=quad_chunks,

@@ -46,14 +46,31 @@ def eval_texture(scene, tex_id: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
         out = jnp.where((ttype == scene_mod.TEX_CHECKER)[..., None], checker, out)
 
     if scene_mod.TEX_PICTURE in used:
-        # nearest texel, v flipped, /256 (src/texture.h:68-74)
+        # nearest texel, v flipped, /256 (src/texture.h:68-74); opt-in
+        # bilinear 4-tap (Textures.tfilter == 1), statically gated
         image_id = tbl.take_rows(texs.image_id, tex_id, oh)
         pic = jnp.zeros_like(color0)
+        if scene.has_bilinear:
+            tfil = tbl.take_rows(texs.tfilter, tex_id, oh)
         for k, img in enumerate(scene.images):
             h, w = img.shape[0], img.shape[1]
             i = jnp.clip((w * u).astype(jnp.int32), 0, w - 1)
             j = jnp.clip((h * (1.0 - v)).astype(jnp.int32), 0, h - 1)
             texel = img[j, i] * (1.0 / 256.0)
+            if scene.has_bilinear:
+                x = w * u - 0.5
+                y = h * (1.0 - v) - 0.5
+                x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 1)
+                y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 1)
+                x1 = jnp.minimum(x0 + 1, w - 1)
+                y1 = jnp.minimum(y0 + 1, h - 1)
+                fx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+                fy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+                lerped = ((img[y0, x0] * (1 - fx) + img[y0, x1] * fx)
+                          * (1 - fy)
+                          + (img[y1, x0] * (1 - fx) + img[y1, x1] * fx)
+                          * fy) * (1.0 / 256.0)
+                texel = jnp.where((tfil == 1)[..., None], lerped, texel)
             pic = jnp.where((image_id == k)[..., None], texel, pic)
         out = jnp.where((ttype == scene_mod.TEX_PICTURE)[..., None], pic, out)
 

@@ -99,3 +99,43 @@ def test_unused_texture_types_not_traced():
     t = b.solid((1, 0, 0))
     s = b.build()
     assert s.tex_types_used == (0,)
+
+
+def test_bilinear_picture_filter():
+    """picture(filter="bilinear") interpolates between texels (midpoint of
+    a black/white 2x1 image = 0.5), while the default nearest snaps; both
+    agree exactly at texel centers, and nearest-only scenes keep the old
+    graph (has_bilinear static flag off)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpu_ray_tracing_implementation_tpu.models.scene import SceneBuilder
+    from cpu_ray_tracing_implementation_tpu.ops.textures import eval_texture
+
+    img = np.zeros((1, 2, 3), np.float32)
+    img[0, 1] = 256.0  # right texel white (byte scale, /256 on eval)
+
+    def build(filt):
+        b = SceneBuilder()
+        t = b.picture(img, filter=filt)
+        b.sphere((0, 0, 0), 1.0, b.lambertian(t))
+        return b.build(), t
+
+    s_near, t_n = build("nearest")
+    s_bi, t_b = build("bilinear")
+    assert not s_near.has_bilinear and s_bi.has_bilinear
+
+    u = jnp.asarray([0.25, 0.75, 0.5], jnp.float32)   # centers, midpoint
+    v = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    p = jnp.zeros((3, 3), jnp.float32)
+    tid = jnp.full((3,), t_n, jnp.int32)
+
+    near = np.asarray(eval_texture(s_near, tid, u, v, p))
+    bi = np.asarray(eval_texture(s_bi, jnp.full((3,), t_b, jnp.int32),
+                                 u, v, p))
+    # texel centers agree between filters
+    np.testing.assert_allclose(bi[0], near[0], atol=1e-6)
+    np.testing.assert_allclose(bi[1], near[1], atol=1e-6)
+    # midpoint: nearest snaps to one texel, bilinear averages
+    assert near[2, 0] in (0.0, 1.0)
+    np.testing.assert_allclose(bi[2], 0.5, atol=1e-6)
