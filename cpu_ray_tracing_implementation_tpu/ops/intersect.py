@@ -66,14 +66,22 @@ def _auto_mode(n_chunks: int) -> str:
 
 def _dense_pallas_ok(tmax) -> bool:
     """Route a dense (small-scene) table through the fused Pallas kernel on
-    a 1-chunk view (ops/pallas_intersect.py "dense entry"): on for TPU
-    backends unless CRT_DENSE_PALLAS=0, and only for scalar static tmax
-    (the custom-VJP wrappers treat tmax as non-differentiable static)."""
+    a 1-chunk view (ops/pallas_intersect.py "dense entry"): OPT-IN via
+    CRT_DENSE_PALLAS=1, and only for scalar static tmax (the custom-VJP
+    wrappers treat tmax as non-differentiable static).
+
+    Default OFF (2026-08-19): slope-measured on the chip, the 1-chunk
+    Pallas view is ~4x slower forward and ~9x slower fwd+bwd than the
+    pure-XLA dense path on Cornell-class tables (XLA fuses the [R,18]
+    intersect into the surrounding shading at ~86% of the VPU roofline;
+    the kernel call boundary breaks that fusion). The fused kernels still
+    win where they were built to: chunked large scenes (ops/perray.py +
+    ops/pallas_select.py), where traversal, not fusion, dominates."""
     import os
 
     from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 
-    if os.environ.get("CRT_DENSE_PALLAS", "1") != "1":
+    if os.environ.get("CRT_DENSE_PALLAS", "0") != "1":
         return False
     return (pk.use_pallas() and jnp.ndim(tmax) == 0
             and not isinstance(tmax, jax.core.Tracer))

@@ -24,6 +24,9 @@ from cpu_ray_tracing_implementation_tpu.ops import pallas_intersect as pk
 @pytest.fixture()
 def force_dense_pallas(monkeypatch):
     monkeypatch.setattr(pk, "use_pallas", lambda: True)
+    # dense routing is opt-in since 2026-08-19 (the 1-chunk Pallas view
+    # breaks XLA's intersect+shade fusion and measures ~4x slower on chip)
+    monkeypatch.setenv("CRT_DENSE_PALLAS", "1")
     yield
     jax.clear_caches()  # drop pallas-routed compilations for later tests
 
