@@ -58,6 +58,13 @@ class Camera:
     # Unbiased; the wavefront integrator turns freed lanes into new paths
     # (real speedup), the classic scan only zeroes them. 0 = off.
     rr_depth: int = struct.field(pytree_node=False, default=0)
+    # Next-event estimation (opt-in; cam.replace(nee=True) or CLI --nee):
+    # each diffuse bounce takes an explicit shadow-ray light sample plus a
+    # pure BSDF continuation, combined with the power heuristic — lower
+    # variance than the reference's 50/50 one-sample mixture
+    # (src/pdf.h:48-61) at the cost of one extra intersect per bounce.
+    # Off (default) keeps the reference-parity estimator bitwise intact.
+    nee: bool = struct.field(pytree_node=False, default=False)
     # Firefly clamp (opt-in; cam.replace(clamp=C) or CLI --clamp): each
     # path sample's radiance is min'd against C per channel before
     # accumulation — the standard production "max sample brightness"

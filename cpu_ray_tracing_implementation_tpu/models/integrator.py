@@ -79,7 +79,7 @@ def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
 
 
 def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
-                ior_shift=None, rr_u=None):
+                ior_shift=None, rr_u=None, emis_w=None, nee_shadow=True):
     """One path segment for every lane: intersect, add miss-background /
     emission, scatter. The shared body of the classic scan integrator and
     the path-regeneration wavefront (estimator: src/camera.h:193-241).
@@ -90,23 +90,64 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
     for this segment (camera.rr_depth): survivors of probability
     p = clamp(max channel of throughput, 0.05, 1) rescale by 1/p —
     unbiased, cuts the deep-path tail. The wavefront integrator turns
-    freed lanes into new paths; the classic scan only zeroes them."""
+    freed lanes into new paths; the classic scan only zeroes them.
+    ``emis_w``: [R] carried power-heuristic emission weight — enables
+    next-event estimation (camera.nee): emission and env radiance met by
+    BSDF-sampled rays are weighted by it, an explicit shadow ray collects
+    direct lighting, and the return gains the next segment's emis_w.
+    None = the reference-parity one-sample-mixture estimator.
+    ``nee_shadow``: scalar bool — the shadow ray estimates the NEXT
+    vertex's emission, so the FINAL segment must skip it (the classic
+    depth budget never collects light past vertex max_depth,
+    src/camera.h:194-195; keeping it would brighten NEE renders ~10%)."""
+    nee = emis_w is not None
     hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
                                 u[:, mat_ops.SLOT_VOLUME0:], active=alive)
 
-    # miss -> background, lane terminates
+    # miss -> background, lane terminates. Under NEE the env light (when it
+    # is in the light mixture) is also reached by shadow rays, so the
+    # BSDF-path's env pickup carries emis_w; directions no light sample can
+    # produce have light_pdf = 0 -> emis_w = 1, so plain backgrounds are
+    # untouched.
     bg = background_color(scene, dirs)
+    if nee:
+        bg = bg * emis_w[:, None]
     miss = alive & ~hit.valid
     radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
 
     # emission at the hit (front-face diffuse_light)
     lit = alive & hit.valid
     emit = mat_ops.emitted(scene, hit)
+    if nee:
+        emit = emit * emis_w[:, None]
     radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
 
     # scatter
-    new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u,
-                                                 ior_shift=ior_shift)
+    if nee:
+        (new_dir, weight, continues, emis_w_next, nee_dir,
+         nee_w) = mat_ops.scatter_nee(scene, hit, dirs, u,
+                                      ior_shift=ior_shift)
+        if scene.has_lights:
+            # Shadow ray: radiance arriving from the sampled light direction.
+            # Occluders are non-emissive so `emitted` of the nearest hit IS
+            # visibility x L_e; a volume boundary on the way scatters the ray
+            # with the analytic probability (a fresh Weyl-shifted uniform
+            # decorrelates it from the main segment's volume draw), which
+            # estimates the transmittance unbiasedly.
+            sh_active = alive & hit.valid & nee_shadow
+            u_vol_sh = jnp.mod(u[:, mat_ops.SLOT_VOLUME0:] + 0.61803398875,
+                               1.0)
+            sh = isect.intersect_brute(scene, hit.p, nee_dir, time, T_MIN,
+                                       u_vol_sh, active=sh_active)
+            sh_le = mat_ops.emitted(scene, sh)
+            if scene.has_env_light:
+                sh_le = sh_le + jnp.where(
+                    sh.valid[:, None], 0.0, background_color(scene, nee_dir))
+            radiance = radiance + jnp.where(
+                sh_active[:, None], throughput * nee_w * sh_le, 0.0)
+    else:
+        new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u,
+                                                     ior_shift=ior_shift)
     alive = lit & continues
     throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
     if rr_u is not None:
@@ -121,13 +162,15 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
         alive = alive & survive
     org = jnp.where(alive[:, None], hit.p, org)
     dirs = jnp.where(alive[:, None], new_dir, dirs)
+    if nee:
+        return org, dirs, time, throughput, radiance, alive, emis_w_next
     return org, dirs, time, throughput, radiance, alive
 
 
 def render_rays(scene, org, dirs, time, key, max_depth: int,
                 ray_ids=None, uniforms=None, unroll: int = 1,
                 wavelength=None, qmc_words=None, sample_idx=None,
-                rr_depth: int = 0) -> jnp.ndarray:
+                rr_depth: int = 0, nee: bool = False) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -146,6 +189,10 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     ``rr_depth``: Russian roulette from that bounce on (camera.rr_depth;
     0 = off). The RR stream folds the key with 0x5252 so all existing
     slot streams are untouched.
+    ``nee``: next-event estimation (camera.nee) — split light/BSDF samples
+    with power-heuristic MIS instead of the reference's 50/50 one-sample
+    mixture; same uniform slots, lower variance, one extra (shadow)
+    intersect per diffuse bounce.
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -170,7 +217,8 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         k_rr = jax.random.fold_in(key, 0x5252)
 
     def bounce(carry, inputs):
-        org, dirs, time, throughput, radiance, alive = carry
+        org, dirs, time, throughput, radiance, alive = carry[:6]
+        emis_w = carry[6] if nee else None
         if uniforms is not None:
             u = inputs
         elif qmc_words is not None:
@@ -187,7 +235,8 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
                                      ray_ids, 1)[:, 0]
             rr_u = jnp.where(bounce_idx >= rr_depth, u_rr, -1.0)
         return _shade_step(scene, org, dirs, time, throughput, radiance,
-                           alive, u, ior_shift=ior_shift, rr_u=rr_u), None
+                           alive, u, ior_shift=ior_shift, rr_u=rr_u,
+                           emis_w=emis_w), None
 
     init = (
         org, dirs, time,
@@ -195,9 +244,11 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         jnp.zeros((n_rays, 3), org.dtype),
         jnp.ones((n_rays,), bool),
     )
+    if nee:
+        init = init + (jnp.ones((n_rays,), jnp.float32),)
     xs = jnp.arange(max_depth) if uniforms is None else uniforms
-    (_, _, _, _, radiance, _), _ = jax.lax.scan(bounce, init, xs,
-                                                unroll=unroll)
+    out_carry, _ = jax.lax.scan(bounce, init, xs, unroll=unroll)
+    radiance = out_carry[4]
     if wavelength is not None:
         # radiance is linear in initial throughput, so weighting after the
         # scan == starting the path at throughput = weight
@@ -260,7 +311,8 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
                       ray_ids=pixel_ids, unroll=unroll,
                       wavelength=wavelength,
                       qmc_words=qmc_words if camera.qmc else None,
-                      sample_idx=sample_idx, rr_depth=camera.rr_depth)
+                      sample_idx=sample_idx, rr_depth=camera.rr_depth,
+                      nee=camera.nee)
     if camera.clamp > 0.0:
         rad = jnp.minimum(rad, camera.clamp)  # firefly clamp (camera.py)
     return rad
@@ -335,6 +387,11 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     ``lax.while_loop`` (not reverse-differentiable); gradient paths use the
     classic scan.
     """
+    if camera.nee:
+        raise NotImplementedError(
+            "render_wavefront does not support camera.nee yet — use the "
+            "classic scan (render_image); NEE there covers every "
+            "production path (full-frame, tiled, sharded, adaptive, diff)")
     n_pix = camera.width * camera.height
     n_vol = scene.n_volumes
     nslot = mat_ops.NSLOT + n_vol

@@ -307,3 +307,140 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
     weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
     return new_dir, weight, continues
+
+
+def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
+                ior_shift=None):
+    """Split-sample scatter for next-event estimation (camera.nee).
+
+    Beyond the reference's one-sample 50/50 mixture (src/pdf.h:48-61): each
+    kRandom lane takes a PURE material sample for the path continuation and
+    a SEPARATE light sample for direct lighting, combined with the power
+    heuristic (Veach beta=2) — the production-standard lower-variance MIS.
+    The uniform slot layout is unchanged: the mixture's SLOT_MIS is unused
+    and SLOT_LIGHT_* drive the shadow ray instead of the mixed lobe, so
+    QMC/stratified/RR streams compose untouched.
+
+    Returns (new_dir, weight, continues, emis_w_next, nee_dir, nee_w):
+      emis_w_next [R]: power-heuristic weight for emission the CONTINUATION
+        ray picks up at the next vertex (1.0 on specular lanes — a delta
+        lobe can't be light-sampled);
+      nee_dir [R,3]: shadow-ray direction toward the sampled light;
+      nee_w [R,3]: its weighted throughput factor
+        atten * p_scattered(nee_dir) * pdf_L / (pdf_L^2 + pdf_B^2) —
+        zero on specular/invalid lanes or lightless scenes. The caller
+        traces nee_dir and multiplies by the radiance found (occluders are
+        non-emissive, so visibility falls out of ``emitted``).
+    """
+    mats = scene.materials
+    n_m = mats.mtype.shape[0]
+    oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
+    mt = tbl.take_rows(mats.mtype, hit.mat, oh)
+    atten = eval_texture(scene, tbl.take_rows(mats.tex, hit.mat, oh),
+                         hit.u, hit.v, hit.p)
+    n = hit.normal
+    unit_d = vm.normalize(ray_dir)
+
+    used = scene.mat_types_used or (sc.MAT_LAMBERTIAN, sc.MAT_METAL,
+                                    sc.MAT_DIELECTRIC, sc.MAT_GLOSS,
+                                    sc.MAT_ISOTROPIC, sc.MAT_DIFFUSE_LIGHT)
+    has_metal = sc.MAT_METAL in used
+    has_diel = sc.MAT_DIELECTRIC in used
+    has_gloss = sc.MAT_GLOSS in used
+    has_iso = sc.MAT_ISOTROPIC in used
+
+    cos_sample = smp.cosine_dir(n, u[:, SLOT_DIR1], u[:, SLOT_DIR2])
+    false_r = jnp.zeros(mt.shape, bool)
+
+    det_dir = cos_sample
+    det_weight = atten
+    is_metal = is_diel = is_gloss_spec = false_r
+
+    if has_metal:
+        m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
+        fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
+        metal_dir = (vm.normalize(vm.reflect(ray_dir, n))
+                     + m_fuzz[:, None] * fuzz_vec)
+        is_metal = mt == sc.MAT_METAL
+        det_dir = jnp.where(is_metal[:, None], metal_dir, det_dir)
+
+    if has_diel:
+        m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
+        if ior_shift is not None:
+            m_ior = m_ior + tbl.take_rows(mats.dispersion, hit.mat,
+                                          oh) * ior_shift
+        ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
+        cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
+        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+        cant_refract = ri * sin_theta > 1.0
+        must_reflect = cant_refract | (
+            smp.schlick_reflectance(cos_theta, ri) > u[:, SLOT_DECISION])
+        diel_dir = jnp.where(must_reflect[:, None],
+                             vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
+        is_diel = mt == sc.MAT_DIELECTRIC
+        det_dir = jnp.where(is_diel[:, None], diel_dir, det_dir)
+
+    if has_gloss:
+        m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
+        m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
+        spec_raw = vm.reflect(ray_dir, n)
+        gloss_spec_dir = vm.normalize(
+            vm.lerp(m_smooth[:, None], cos_sample, spec_raw))
+        gloss_is_spec = u[:, SLOT_DECISION] <= m_spec
+        is_gloss_spec = (mt == sc.MAT_GLOSS) & gloss_is_spec
+        det_dir = jnp.where(is_gloss_spec[:, None], gloss_spec_dir, det_dir)
+        det_weight = jnp.where(is_gloss_spec[:, None],
+                               jnp.ones_like(atten), det_weight)
+
+    is_det = is_metal | is_diel | is_gloss_spec
+
+    # --- kRandom continuation: PURE material sample (no light mixing)
+    if has_iso:
+        sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
+        is_iso = mt == sc.MAT_ISOTROPIC
+        rnd_dir = jnp.where(is_iso[:, None], sph_sample, cos_sample)
+    else:
+        is_iso = false_r
+        rnd_dir = cos_sample
+
+    def _mat_pdf(d):
+        return jnp.where(is_iso, smp.sphere_pdf(d), smp.cosine_pdf(n, d))
+
+    def _p_scat(d):
+        return jnp.where(is_iso, smp.INV_4PI, smp.cosine_pdf(n, d))
+
+    pdf_b = _mat_pdf(rnd_dir)
+    rnd_weight = atten * _safe_div(_p_scat(rnd_dir), pdf_b, 0.0)[:, None]
+
+    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
+    if has_gloss:
+        is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
+
+    # --- MIS weight for emission met by the continuation at the NEXT vertex:
+    # w_B = pdf_B^2 / (pdf_B^2 + pdf_L^2), with pdf_L the light mixture's
+    # density for the same direction from THIS vertex. Directions no light
+    # sample could produce get pdf_L = 0 -> w_B = 1.
+    emis_w_next = jnp.ones(mt.shape, jnp.float32)
+    nee_dir = rnd_dir
+    nee_w = jnp.zeros_like(atten)
+    if scene.has_lights:
+        pl_b = light_pdf(scene, hit.p, rnd_dir)
+        w_b = _safe_div(pdf_b * pdf_b, pdf_b * pdf_b + pl_b * pl_b, 1.0)
+        emis_w_next = jnp.where(is_rand & hit.valid, w_b, 1.0)
+
+        # --- direct-lighting shadow sample
+        ldir = light_sample(scene, hit.p, u[:, SLOT_LIGHT_PICK],
+                            u[:, SLOT_LIGHT_U], u[:, SLOT_LIGHT_V])
+        pl = light_pdf(scene, hit.p, ldir)
+        pb_l = _mat_pdf(ldir)
+        # f/pdf_L * w_L with w_L = pl^2/(pl^2+pb^2) collapses to
+        # p_scat * pl / (pl^2 + pb^2)
+        factor = _safe_div(_p_scat(ldir) * pl, pl * pl + pb_l * pb_l, 0.0)
+        nee_dir = ldir
+        nee_w = jnp.where((is_rand & hit.valid)[:, None],
+                          atten * factor[:, None], 0.0)
+
+    continues = hit.valid & (is_det | is_rand)
+    new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
+    weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
+    return new_dir, weight, continues, emis_w_next, nee_dir, nee_w

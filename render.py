@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "pair draws from a per-pixel-scrambled (0,2)-"
                         "sequence (lower variance at equal spp; measured "
                         ">=2x MSE win at 16 spp)")
+    p.add_argument("--nee", action="store_true",
+                   help="next-event estimation: explicit shadow-ray light "
+                        "sample + pure BSDF continuation per diffuse "
+                        "bounce, power-heuristic MIS (lower variance than "
+                        "the default 50/50 one-sample mixture)")
     p.add_argument("--rr-depth", type=int, default=None, metavar="N",
                    help="Russian-roulette path termination from bounce N "
                         "(unbiased; frees deep-path lanes — the wavefront "
@@ -87,7 +92,7 @@ def build_parser() -> argparse.ArgumentParser:
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
                "denoise", "aovs", "adaptive", "clamp", "qmc", "tonemap",
-               "tile_pixels", "rr_depth")
+               "tile_pixels", "rr_depth", "nee")
 
 
 def main(argv=None) -> int:
@@ -161,6 +166,8 @@ def main(argv=None) -> int:
         cam = cam.replace(clamp=args.clamp)
     if args.qmc:
         cam = cam.replace(qmc=True)
+    if args.nee:
+        cam = cam.replace(nee=True)
     if args.rr_depth is not None:
         cam = cam.replace(rr_depth=args.rr_depth)
     print(f"Rendering {scene_name}: {cam.width}x{cam.height}, "

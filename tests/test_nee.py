@@ -1,0 +1,123 @@
+"""Next-event estimation with power-heuristic MIS (camera.nee).
+
+The reference combines light and BSDF sampling as a 50/50 ONE-SAMPLE
+mixture (src/pdf.h:48-61): each bounce draws a single direction from the
+mixed pdf. NEE splits the two: an explicit shadow ray estimates direct
+lighting and a pure BSDF sample continues the path, each weighted by the
+power heuristic — the production-standard estimator with strictly lower
+variance on direct-lit scenes. Opt-in (camera.nee / --nee); default off
+keeps the reference-parity estimator bitwise intact (golden pins).
+
+Tests: unbiasedness (grand mean parity vs the classic estimator),
+variance reduction, specular + dielectric handling, env-light
+composition, QMC composition, and the wavefront guard.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
+from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+
+
+def _renders(scene, cam, n_runs, spp):
+    return np.stack([
+        np.asarray(integrator.render_image(scene, cam, jax.random.key(k),
+                                           spp=spp))
+        for k in range(n_runs)])
+
+
+def test_nee_same_mean_lower_variance():
+    """Cornell (diffuse walls + quad light): grand mean matches the classic
+    estimator; per-pixel variance across runs drops."""
+    scene, cam = catalog.cornell_box(width=24, spp=16, max_depth=3)
+    classic = _renders(scene, cam, 6, 16)
+    nee = _renders(scene, cam.replace(nee=True), 6, 16)
+    assert np.isfinite(nee).all()
+    assert abs(nee.mean() - classic.mean()) / classic.mean() < 0.05, (
+        nee.mean(), classic.mean())
+    v_nee = nee.var(0).mean()
+    v_classic = classic.var(0).mean()
+    assert v_nee < v_classic, (v_nee, v_classic)
+
+
+def test_nee_specular_and_dielectric():
+    """Specular lanes carry full emission weight (a delta lobe can't be
+    light-sampled): the metal-box Cornell agrees in the mean."""
+    scene, cam = catalog.cornell_box_with_specular_box(width=20, spp=16,
+                                                       max_depth=3)
+    classic = _renders(scene, cam, 5, 16)
+    nee = _renders(scene, cam.replace(nee=True), 5, 16)
+    assert np.isfinite(nee).all()
+    assert abs(nee.mean() - classic.mean()) / classic.mean() < 0.06, (
+        nee.mean(), classic.mean())
+
+
+def test_nee_env_light_mixture():
+    """With an importance-sampled environment in the light mixture, shadow
+    rays that escape collect env radiance and BSDF env pickup is
+    MIS-weighted — the mean stays put."""
+    from tests.test_envlight import _sun_scene
+
+    scene = _sun_scene(True)
+    cam = cam_mod.perspective(20, 1.5, (0, 0.3, 1), (0, 0, -1), 1, 60.0,
+                              16, 3)
+    classic = _renders(scene, cam, 6, 16)
+    nee = _renders(scene, cam.replace(nee=True), 6, 16)
+    assert np.isfinite(nee).all()
+    assert abs(nee.mean() - classic.mean()) / (classic.mean() + 1e-4) < 0.08
+
+
+def test_nee_plain_background_unweighted():
+    """A scene with lights=none and a plain sky: NEE must degrade to pure
+    BSDF sampling with full-weight background pickup (light_pdf == 0 ->
+    emis_w == 1), matching the classic estimator closely."""
+    scene, cam = catalog.three_material_ball(width=16, spp=8, max_depth=3)
+    assert not scene.has_lights
+    classic = _renders(scene, cam, 3, 8)
+    nee = _renders(scene, cam.replace(nee=True), 3, 8)
+    # identical stream + identical estimator on lightless scenes
+    np.testing.assert_allclose(nee, classic, atol=1e-5)
+
+
+def test_nee_composes_with_qmc_and_rr():
+    scene, cam = catalog.cornell_box(width=16, spp=8, max_depth=4)
+    cam = cam.replace(nee=True, qmc=True, rr_depth=2)
+    img = np.asarray(integrator.render_image(scene, cam,
+                                             jax.random.key(0), spp=8))
+    assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_nee_volume_scene_finite():
+    """Volumes: the shadow ray's stochastic transmittance (Weyl-shifted
+    volume uniforms) must stay finite and positive."""
+    scene, cam = catalog.cornell_box_with_volume(width=12, spp=4,
+                                                 max_depth=3)
+    img = np.asarray(integrator.render_image(
+        scene, cam.replace(nee=True), jax.random.key(1), spp=4))
+    assert np.isfinite(img).all() and img.mean() > 0.01
+
+
+def test_nee_gradients_finite():
+    """The differentiable path works through NEE (detached sampling: the
+    shadow direction carries no parameter dependence)."""
+    import jax.numpy as jnp
+
+    from cpu_ray_tracing_implementation_tpu.models import diff
+
+    scene, cam = catalog.cornell_box(width=10, spp=2, max_depth=2)
+    target = jnp.zeros((cam.height, cam.width, 3))
+    loss, (gs, gc) = diff.loss_and_grads(scene, cam.replace(nee=True),
+                                         jax.random.key(0), target, spp=2)
+    assert np.isfinite(float(loss))
+    for k, g in gs.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    assert float(np.abs(np.asarray(gs["tex_color0"])).sum()) > 0.0
+
+
+def test_nee_wavefront_guard():
+    scene, cam = catalog.cornell_box(width=8, spp=1, max_depth=2)
+    with pytest.raises(NotImplementedError):
+        integrator.render_image_wavefront(scene, cam.replace(nee=True),
+                                          jax.random.key(0), spp=1)
