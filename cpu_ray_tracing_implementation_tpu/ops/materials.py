@@ -195,19 +195,17 @@ def _sphere_light_pdf_sum(scene, origin: jnp.ndarray,
     return jnp.sum(jnp.where(hits, smp.cone_pdf(cos_max), 0.0), axis=-1)
 
 
-def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
-            ior_shift=None):
-    """One scatter decision per lane.
+def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
+                  ior_shift=None):
+    """Shared lobe sampling for ``scatter`` and ``scatter_nee``: the
+    kDetermined candidates (metal mirror+fuzz src/material.h:85-92,
+    dielectric Schlick reflect/refract src/material.h:113-131, gloss
+    probabilistic specular lerp src/material.h:158-173) and the kRandom
+    material sample (cosine / uniform-sphere). Factored so the two
+    estimators cannot drift (ADVICE round 2).
 
-    Returns (new_dir [R,3], weight [R,3], continues [R] bool). Lanes whose
-    material does not scatter (diffuse_light, src/material.h:43 default) get
-    continues=False.
-
-    ``ior_shift``: optional [R] per-path Cauchy term
-    (spectrum.cauchy_ior_shift of the path's hero wavelength); dielectric
-    lanes then refract at ior + dispersion * ior_shift. None (the RGB
-    render) keeps the graph free of the dispersion table.
-    """
+    Returns (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
+    mat_sample)."""
     mats = scene.materials
     n_m = mats.mtype.shape[0]
     oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
@@ -232,10 +230,9 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
     det_dir = cos_sample
     det_weight = atten
-    is_metal = is_diel = is_gloss_spec = false_r
+    is_metal = is_diel = is_gloss_spec = gloss_is_spec = false_r
 
     if has_metal:
-        # --- metal: mirror + fuzz, kDetermined (src/material.h:85-92)
         m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
         fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
         metal_dir = (vm.normalize(vm.reflect(ray_dir, n))
@@ -244,7 +241,6 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         det_dir = jnp.where(is_metal[:, None], metal_dir, det_dir)
 
     if has_diel:
-        # --- dielectric: Schlick reflect/refract, kDetermined (src/material.h:113-131)
         m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
         if ior_shift is not None:
             m_ior = m_ior + tbl.take_rows(mats.dispersion, hit.mat,
@@ -261,8 +257,6 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         det_dir = jnp.where(is_diel[:, None], diel_dir, det_dir)
 
     if has_gloss:
-        # --- gloss: probabilistic specular lerp, else cosine diffuse
-        # (src/material.h:158-173)
         m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
         m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
         spec_raw = vm.reflect(ray_dir, n)  # unnormalized, as in the reference
@@ -276,7 +270,7 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
     is_det = is_metal | is_diel | is_gloss_spec
 
-    # --- kRandom lanes: material sample, optional dual-pdf light MIS
+    # --- kRandom material sample
     if has_iso:
         sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
         is_iso = mt == sc.MAT_ISOTROPIC
@@ -285,6 +279,30 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         is_iso = false_r
         mat_sample = cos_sample
 
+    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
+    if has_gloss:
+        is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
+    return mt, atten, det_dir, det_weight, is_det, is_iso, is_rand, mat_sample
+
+
+def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
+            ior_shift=None):
+    """One scatter decision per lane.
+
+    Returns (new_dir [R,3], weight [R,3], continues [R] bool). Lanes whose
+    material does not scatter (diffuse_light, src/material.h:43 default) get
+    continues=False.
+
+    ``ior_shift``: optional [R] per-path Cauchy term
+    (spectrum.cauchy_ior_shift of the path's hero wavelength); dielectric
+    lanes then refract at ior + dispersion * ior_shift. None (the RGB
+    render) keeps the graph free of the dispersion table.
+    """
+    (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
+     mat_sample) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
+    n = hit.normal
+
+    # --- kRandom lanes: optional dual-pdf light MIS
     if scene.has_lights:
         ldir = light_sample(scene, hit.p, u[:, SLOT_LIGHT_PICK],
                             u[:, SLOT_LIGHT_U], u[:, SLOT_LIGHT_V])
@@ -300,9 +318,6 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     p_scat = jnp.where(is_iso, smp.INV_4PI, smp.cosine_pdf(n, rnd_dir))
     rnd_weight = atten * _safe_div(p_scat, pdf_val, 0.0)[:, None]
 
-    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
-    if has_gloss:
-        is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
     continues = hit.valid & (is_det | is_rand)
     new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
     weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
@@ -332,76 +347,11 @@ def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         traces nee_dir and multiplies by the radiance found (occluders are
         non-emissive, so visibility falls out of ``emitted``).
     """
-    mats = scene.materials
-    n_m = mats.mtype.shape[0]
-    oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
-    mt = tbl.take_rows(mats.mtype, hit.mat, oh)
-    atten = eval_texture(scene, tbl.take_rows(mats.tex, hit.mat, oh),
-                         hit.u, hit.v, hit.p)
+    (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
+     rnd_dir) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
     n = hit.normal
-    unit_d = vm.normalize(ray_dir)
 
-    used = scene.mat_types_used or (sc.MAT_LAMBERTIAN, sc.MAT_METAL,
-                                    sc.MAT_DIELECTRIC, sc.MAT_GLOSS,
-                                    sc.MAT_ISOTROPIC, sc.MAT_DIFFUSE_LIGHT)
-    has_metal = sc.MAT_METAL in used
-    has_diel = sc.MAT_DIELECTRIC in used
-    has_gloss = sc.MAT_GLOSS in used
-    has_iso = sc.MAT_ISOTROPIC in used
-
-    cos_sample = smp.cosine_dir(n, u[:, SLOT_DIR1], u[:, SLOT_DIR2])
-    false_r = jnp.zeros(mt.shape, bool)
-
-    det_dir = cos_sample
-    det_weight = atten
-    is_metal = is_diel = is_gloss_spec = false_r
-
-    if has_metal:
-        m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
-        fuzz_vec = smp.unit_sphere_dir(u[:, SLOT_FUZZ1], u[:, SLOT_FUZZ2])
-        metal_dir = (vm.normalize(vm.reflect(ray_dir, n))
-                     + m_fuzz[:, None] * fuzz_vec)
-        is_metal = mt == sc.MAT_METAL
-        det_dir = jnp.where(is_metal[:, None], metal_dir, det_dir)
-
-    if has_diel:
-        m_ior = tbl.take_rows(mats.ior, hit.mat, oh)
-        if ior_shift is not None:
-            m_ior = m_ior + tbl.take_rows(mats.dispersion, hit.mat,
-                                          oh) * ior_shift
-        ri = jnp.where(hit.front, 1.0 / m_ior, m_ior)
-        cos_theta = jnp.minimum(vm.dot(-unit_d, n), 1.0)
-        sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
-        cant_refract = ri * sin_theta > 1.0
-        must_reflect = cant_refract | (
-            smp.schlick_reflectance(cos_theta, ri) > u[:, SLOT_DECISION])
-        diel_dir = jnp.where(must_reflect[:, None],
-                             vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
-        is_diel = mt == sc.MAT_DIELECTRIC
-        det_dir = jnp.where(is_diel[:, None], diel_dir, det_dir)
-
-    if has_gloss:
-        m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
-        m_spec = tbl.take_rows(mats.spec_prob, hit.mat, oh)
-        spec_raw = vm.reflect(ray_dir, n)
-        gloss_spec_dir = vm.normalize(
-            vm.lerp(m_smooth[:, None], cos_sample, spec_raw))
-        gloss_is_spec = u[:, SLOT_DECISION] <= m_spec
-        is_gloss_spec = (mt == sc.MAT_GLOSS) & gloss_is_spec
-        det_dir = jnp.where(is_gloss_spec[:, None], gloss_spec_dir, det_dir)
-        det_weight = jnp.where(is_gloss_spec[:, None],
-                               jnp.ones_like(atten), det_weight)
-
-    is_det = is_metal | is_diel | is_gloss_spec
-
-    # --- kRandom continuation: PURE material sample (no light mixing)
-    if has_iso:
-        sph_sample = smp.unit_sphere_dir(u[:, SLOT_DIR1], u[:, SLOT_DIR2])
-        is_iso = mt == sc.MAT_ISOTROPIC
-        rnd_dir = jnp.where(is_iso[:, None], sph_sample, cos_sample)
-    else:
-        is_iso = false_r
-        rnd_dir = cos_sample
+    # kRandom continuation = the PURE material sample (no light mixing)
 
     def _mat_pdf(d):
         return jnp.where(is_iso, smp.sphere_pdf(d), smp.cosine_pdf(n, d))
@@ -411,10 +361,6 @@ def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
     pdf_b = _mat_pdf(rnd_dir)
     rnd_weight = atten * _safe_div(_p_scat(rnd_dir), pdf_b, 0.0)[:, None]
-
-    is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
-    if has_gloss:
-        is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
 
     # --- MIS weight for emission met by the continuation at the NEXT vertex:
     # w_B = pdf_B^2 / (pdf_B^2 + pdf_L^2), with pdf_L the light mixture's

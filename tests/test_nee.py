@@ -50,7 +50,9 @@ def test_nee_specular_and_dielectric():
     classic = _renders(scene, cam, 5, 16)
     nee = _renders(scene, cam.replace(nee=True), 5, 16)
     assert np.isfinite(nee).all()
-    assert abs(nee.mean() - classic.mean()) / classic.mean() < 0.06, (
+    # post-fix delta measured 0.24%; 0.02 still fails loudly on the 5.8%
+    # final-segment bias this test originally let through (ADVICE round 2)
+    assert abs(nee.mean() - classic.mean()) / classic.mean() < 0.02, (
         nee.mean(), classic.mean())
 
 
@@ -66,7 +68,8 @@ def test_nee_env_light_mixture():
     classic = _renders(scene, cam, 6, 16)
     nee = _renders(scene, cam.replace(nee=True), 6, 16)
     assert np.isfinite(nee).all()
-    assert abs(nee.mean() - classic.mean()) / (classic.mean() + 1e-4) < 0.08
+    # post-fix delta measured 0.72%; tightened from 0.08 (ADVICE round 2)
+    assert abs(nee.mean() - classic.mean()) / (classic.mean() + 1e-4) < 0.03
 
 
 def test_nee_plain_background_unweighted():
