@@ -25,6 +25,20 @@ import jax
 import jax.numpy as jnp
 
 from cpu_ray_tracing_implementation_tpu.models import integrator
+from cpu_ray_tracing_implementation_tpu.ops import replay
+
+
+def _use_replay(scene) -> bool:
+    """Compact-residual intersection on the gradient path (ops/replay.py):
+    the remat backward saves one packed winner id per lane-bounce and
+    replays that single primitive in O(R) instead of recomputing +
+    transposing the O(R*N) intersection sweep. CRT_REPLAY=0 opts out
+    (the slower remat-everything backward, kept as the VJP oracle)."""
+    import os
+
+    if os.environ.get("CRT_REPLAY", "1") == "0":
+        return False
+    return replay.supported(scene)
 
 
 # ---------------------------------------------------------------- params
@@ -79,27 +93,45 @@ def apply_camera_params(camera, params: dict):
 
 
 # ---------------------------------------------------------------- losses
-@functools.partial(jax.jit, static_argnames=("spp",))
-def image_loss(scene, camera, key, target, spp: int):
-    """Mean squared pixel error of an spp-sample render against ``target``."""
+@functools.partial(jax.jit, static_argnames=("spp", "replay"))
+def image_loss(scene, camera, key, target, spp: int, replay: bool = None):
+    """Mean squared pixel error of an spp-sample render against ``target``.
+
+    ``replay`` (STATIC; None = auto per _use_replay): same replay-intersect
+    render as loss_and_grads, so finite differences of this loss match its
+    autodiff gradients exactly (unroll preserves scan semantics, so the
+    default unroll is bitwise the same loss)."""
+    if replay is None:
+        replay = _use_replay(scene)
     img = integrator.render_image(scene, camera, key, spp=spp,
-                                  unroll=(1, 1))
+                                  replay_isect=replay)
     return jnp.mean((img - target) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+@functools.partial(jax.jit, static_argnames=("spp", "unroll", "replay"))
 def loss_and_grads(scene, camera, key, target, spp: int,
-                   unroll: tuple = (1, 1)):
+                   unroll: tuple = None, replay: bool = None):
     """(loss, (scene_param_grads, camera_param_grads)).
 
     ``unroll``: (bounce, spp) scan unroll for the differentiated render —
-    default (1, 1); larger bounce factors crash the TPU compiler's fusion
-    pass under grad-of-checkpoint (integrator UNROLL note)."""
+    defaults to the forward-tuned factors (integrator UNROLL note). The
+    round-2 TPU compiler SIGILL under grad-of-unrolled-scan no longer
+    reproduces (re-checked 2026-08-19, both replay and remat paths);
+    slope-measured on the chip, unroll (8,2) + replay is 11.3 -> 20.5
+    M rays/s fwd+bwd on the bench workload. CRT_UNROLL=1,1 restores the
+    old behavior if a compiler regression resurfaces.
+    ``replay`` (STATIC; None = auto): compact-residual intersection
+    (ops/replay.py); False forces the remat-everything VJP oracle."""
+
+    rep = _use_replay(scene) if replay is None else replay
+    if unroll is None:
+        unroll = integrator._default_unroll()
 
     def f(sp, cp):
         s = apply_scene_params(scene, sp)
         c = apply_camera_params(camera, cp)
-        img = integrator.render_image(s, c, key, spp=spp, unroll=unroll)
+        img = integrator.render_image(s, c, key, spp=spp, unroll=unroll,
+                                      replay_isect=rep)
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(f, argnums=(0, 1))(
@@ -196,12 +228,14 @@ def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
             if log:
                 log(f"[fit] resumed at step {start}")
 
+    rep = _use_replay(scene)
+
     @functools.partial(jax.jit, static_argnames=("spp_",))
     def loss_grad(params, k, spp_):
         def f(p):
             s = apply_scene_params(scene, p)
             img = integrator.render_image(s, camera, k, spp=spp_,
-                                          unroll=(1, 1))
+                                          replay_isect=rep)
             return jnp.mean((img - target) ** 2)
 
         return jax.value_and_grad(f)(params)

@@ -35,6 +35,12 @@ from cpu_ray_tracing_implementation_tpu.ops import vecmath as vm
 T_MIN = 1e-3  # shadow-acne bias, interval(0.001, inf) (src/camera.h:198)
 
 
+def _replay_mod():
+    from cpu_ray_tracing_implementation_tpu.ops import replay
+
+    return replay
+
+
 def background_color(scene, dirs: jnp.ndarray) -> jnp.ndarray:
     """Environment lookup on miss (src/camera.h:180-190).
 
@@ -79,7 +85,8 @@ def _per_ray_uniforms(key, ray_ids: jnp.ndarray, nslot: int) -> jnp.ndarray:
 
 
 def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
-                ior_shift=None, rr_u=None, emis_w=None, nee_shadow=True):
+                ior_shift=None, rr_u=None, emis_w=None, nee_shadow=True,
+                replay=False):
     """One path segment for every lane: intersect, add miss-background /
     emission, scatter. The shared body of the classic scan integrator and
     the path-regeneration wavefront (estimator: src/camera.h:193-241).
@@ -99,10 +106,14 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
     ``nee_shadow``: scalar bool — the shadow ray estimates the NEXT
     vertex's emission, so the FINAL segment must skip it (the classic
     depth budget never collects light past vertex max_depth,
-    src/camera.h:194-195; keeping it would brighten NEE renders ~10%)."""
+    src/camera.h:194-195; keeping it would brighten NEE renders ~10%).
+    ``replay``: compact-residual intersection for the gradient path
+    (ops/replay.py) — saved winner ids + O(R) differentiable replay."""
     nee = emis_w is not None
-    hit = isect.intersect_brute(scene, org, dirs, time, T_MIN,
-                                u[:, mat_ops.SLOT_VOLUME0:], active=alive)
+    isect_fn = _replay_mod().intersect_replay if replay \
+        else isect.intersect_brute
+    hit = isect_fn(scene, org, dirs, time, T_MIN,
+                   u[:, mat_ops.SLOT_VOLUME0:], active=alive)
 
     # miss -> background, lane terminates. Under NEE the env light (when it
     # is in the light mixture) is also reached by shadow rays, so the
@@ -137,8 +148,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
             sh_active = alive & hit.valid & nee_shadow
             u_vol_sh = jnp.mod(u[:, mat_ops.SLOT_VOLUME0:] + 0.61803398875,
                                1.0)
-            sh = isect.intersect_brute(scene, hit.p, nee_dir, time, T_MIN,
-                                       u_vol_sh, active=sh_active)
+            sh = isect_fn(scene, hit.p, nee_dir, time, T_MIN,
+                          u_vol_sh, active=sh_active)
             sh_le = mat_ops.emitted(scene, sh)
             if scene.has_env_light:
                 sh_le = sh_le + jnp.where(
@@ -170,7 +181,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
 def render_rays(scene, org, dirs, time, key, max_depth: int,
                 ray_ids=None, uniforms=None, unroll: int = 1,
                 wavelength=None, qmc_words=None, sample_idx=None,
-                rr_depth: int = 0, nee: bool = False) -> jnp.ndarray:
+                rr_depth: int = 0, nee: bool = False,
+                replay_isect: bool = False) -> jnp.ndarray:
     """Radiance [R,3] for a batch of rays.
 
     ``ray_ids``: per-ray integer ids used to fold the RNG key (defaults to
@@ -193,6 +205,8 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     with power-heuristic MIS instead of the reference's 50/50 one-sample
     mixture; same uniform slots, lower variance, one extra (shadow)
     intersect per diffuse bounce.
+    ``replay_isect``: compact-residual intersection for gradient callers
+    (ops/replay.py) — pair with the save_isect_policy checkpoint policy.
     """
     n_rays = org.shape[0]
     n_vol = scene.n_volumes
@@ -245,7 +259,8 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
         nee_shadow = bounce_idx < max_depth - 1 if nee else True
         return _shade_step(scene, org, dirs, time, throughput, radiance,
                            alive, u, ior_shift=ior_shift, rr_u=rr_u,
-                           emis_w=emis_w, nee_shadow=nee_shadow), None
+                           emis_w=emis_w, nee_shadow=nee_shadow,
+                           replay=replay_isect), None
 
     init = (
         org, dirs, time,
@@ -265,15 +280,17 @@ def render_rays(scene, org, dirs, time, key, max_depth: int,
     return radiance
 
 
-# UNROLL: forward-only renders unroll the bounce scan (factor 8) and the
-# sample scan (factor 2) — scan semantics (and therefore the sampled
-# streams) are unchanged, but XLA fuses across iterations instead of
-# paying the while-loop per-iteration overhead: slope-measured +22%
-# forward on the Cornell bench workload. The DIFFERENTIATED path keeps
-# unroll=1: grad-of-unrolled-scan under jax.checkpoint crashes the TPU
-# compiler's priority-fusion pass (SIGILL in TpuPriorityFusionQueue,
-# observed 2026-08-17), and the remat backward re-runs the forward inside
-# the VJP anyway. Override with CRT_UNROLL="bounces,spp".
+# UNROLL: renders unroll the bounce scan (factor 8) and the sample scan
+# (factor 2) — scan semantics (and therefore the sampled streams) are
+# unchanged, but XLA fuses across iterations instead of paying the
+# while-loop per-iteration overhead: slope-measured +22% forward and
+# +30% fwd+bwd on the Cornell bench workload. Round 2 kept the
+# differentiated path at unroll=1 after a TPU compiler SIGILL
+# (TpuPriorityFusionQueue, 2026-08-17) under grad-of-unrolled-scan; that
+# crash no longer reproduces (re-checked 2026-08-19 on both the replay
+# and remat backward paths), so gradients now default to the same
+# factors. Override with CRT_UNROLL="bounces,spp" (CRT_UNROLL=1,1
+# restores the round-2 behavior).
 def _default_unroll() -> tuple:
     import os
 
@@ -283,7 +300,8 @@ def _default_unroll() -> tuple:
 
 
 def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
-                  sample_idx=None, qmc_words=None) -> jnp.ndarray:
+                  sample_idx=None, qmc_words=None,
+                  replay_isect: bool = False) -> jnp.ndarray:
     """One sample of every pixel in ``pixel_ids``: raygen + integrate.
 
     All randomness is keyed by pixel id, so any partition of the pixel set
@@ -321,28 +339,38 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
                       wavelength=wavelength,
                       qmc_words=qmc_words if camera.qmc else None,
                       sample_idx=sample_idx, rr_depth=camera.rr_depth,
-                      nee=camera.nee)
+                      nee=camera.nee, replay_isect=replay_isect)
     if camera.clamp > 0.0:
         rad = jnp.minimum(rad, camera.clamp)  # firefly clamp (camera.py)
     return rad
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "unroll", "replay_isect"))
 def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
-                              spp: int, unroll: tuple = (1, 1)
-                              ) -> jnp.ndarray:
+                              spp: int, unroll: tuple = (1, 1),
+                              replay_isect: bool = False) -> jnp.ndarray:
     """Radiance SUM over the sample range for an arbitrary pixel-id
     subset [N,3] — the building block of the full-frame and tiled renders
     (pixel-id keyed RNG makes any pixel partition reproduce the full-frame
-    samples)."""
+    samples).
+
+    ``replay_isect`` (gradient callers): intersection saves one packed
+    winner id per lane-bounce (4 bytes) and the remat backward replays
+    that single primitive in O(R) instead of recomputing + transposing
+    the O(R*N) sweep — ops/replay.py."""
     qmc_words = qmc.seed_words(key) if camera.qmc else None
     # remat per sample: the backward pass recomputes each sample's wavefront
     # instead of storing spp x depth of [R,...] residuals — the standard
-    # jax.checkpoint FLOPs-for-HBM trade
+    # jax.checkpoint FLOPs-for-HBM trade; under replay_isect the winner ids
+    # are the one named residual saved through the remat
+    policy = _replay_mod().save_isect_policy() if replay_isect else None
     sample_fn = jax.checkpoint(
         lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
                                        unroll=unroll[0], sample_idx=s_abs,
-                                       qmc_words=qmc_words))
+                                       qmc_words=qmc_words,
+                                       replay_isect=replay_isect),
+        policy=policy)
 
     def one_sample(accum, s):
         s_abs = sample_offset + s
@@ -355,9 +383,11 @@ def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
     return accum
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "unroll"))
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "unroll", "replay_isect"))
 def accumulate_samples(scene, camera, key, sample_offset, spp: int,
-                       unroll: tuple = (1, 1)) -> jnp.ndarray:
+                       unroll: tuple = (1, 1),
+                       replay_isect: bool = False) -> jnp.ndarray:
     """Radiance SUM over samples [sample_offset, sample_offset+spp) for all
     pixels, flat [H*W, 3]. Sample index (not position in this batch) keys the
     RNG, so any partition of the sample range — across checkpoint chunks or
@@ -369,7 +399,8 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int,
     n_pix = camera.width * camera.height
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     return accumulate_samples_subset(scene, camera, key, pixel_ids,
-                                     sample_offset, spp, unroll=unroll)
+                                     sample_offset, spp, unroll=unroll,
+                                     replay_isect=replay_isect)
 
 
 def _lane_uniforms(keys, n: int) -> jnp.ndarray:
@@ -607,7 +638,8 @@ def render_image_wavefront(scene, camera, key, spp: int | None = None):
 
 
 def render_image(scene, camera, key, spp: int | None = None,
-                 unroll: tuple | None = None) -> jnp.ndarray:
+                 unroll: tuple | None = None,
+                 replay_isect: bool = False) -> jnp.ndarray:
     """Full image [H,W,3] (linear radiance, pre-gamma).
 
     The sample loop is a ``lax.scan`` (one full-frame wavefront per sample)
@@ -620,7 +652,8 @@ def render_image(scene, camera, key, spp: int | None = None,
     """
     spp = camera.spp if spp is None else spp
     unroll = _default_unroll() if unroll is None else unroll
-    accum = accumulate_samples(scene, camera, key, 0, spp, unroll=unroll)
+    accum = accumulate_samples(scene, camera, key, 0, spp, unroll=unroll,
+                               replay_isect=replay_isect)
     return (accum / spp).reshape(camera.height, camera.width, 3)
 
 

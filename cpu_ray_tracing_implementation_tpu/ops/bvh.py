@@ -212,7 +212,8 @@ def planar_closest_bvh(org, dirs, tree: BVHTree, tmin, triangle: bool,
 # ---------------------------------------------------------------- spheres
 def sphere_closest_bvh(org, dirs, time, tree: BVHTree, tmin, tmax=INF):
     """Closest sphere hit by traversal. Same contract as
-    ops.chunked.sphere_closest: (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
+    ops.chunked.sphere_closest: (t [R], (center_at_t [R,3], rad [R],
+    mat [R], pid [R]))."""
     R = org.shape[0]
     f32 = org.dtype
     a_q = jnp.sum(dirs * dirs, axis=-1)          # quadratic coeffs, ray-only
@@ -221,7 +222,7 @@ def sphere_closest_bvh(org, dirs, time, tree: BVHTree, tmin, tmax=INF):
     a_safe = jnp.maximum(a_q, 1e-20)
 
     def leaf_fn(row, lane_ok, t_best, payload):
-        ctr_b, rad_b, m_b = payload
+        ctr_b, rad_b, m_b, p_b = payload
         c0 = row[:, pk.SROW_C0:pk.SROW_C0 + 3]
         dc = row[:, pk.SROW_DC:pk.SROW_DC + 3]
         c0c0 = row[:, pk.SROW_C0C0]
@@ -250,13 +251,15 @@ def sphere_closest_bvh(org, dirs, time, tree: BVHTree, tmin, tmax=INF):
         return (jnp.where(better, t, t_best),
                 (jnp.where(better[:, None], ctr, ctr_b),
                  jnp.where(better, jnp.maximum(rad, 1e-20), rad_b),
-                 jnp.where(better, mat, m_b)))
+                 jnp.where(better, mat, m_b),
+                 jnp.where(better, row[:, ROW_PID], p_b)))
 
     payload0 = (jnp.zeros((R, 3), f32), jnp.ones((R,), f32),
-                jnp.zeros((R,), f32))
-    t, (ctr, rad, m) = _traverse(org, dirs, tree, tmin, tmax, leaf_fn,
-                                 payload0)
-    return t, (ctr, rad, jnp.round(m).astype(jnp.int32))
+                jnp.zeros((R,), f32), jnp.zeros((R,), f32))
+    t, (ctr, rad, m, p) = _traverse(org, dirs, tree, tmin, tmax, leaf_fn,
+                                    payload0)
+    return t, (ctr, rad, jnp.round(m).astype(jnp.int32),
+               jnp.round(p).astype(jnp.int32))
 
 
 def traversal_stats(org, dirs, tree: BVHTree, tmin, tmax=INF):

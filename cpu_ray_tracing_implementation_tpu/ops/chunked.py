@@ -192,23 +192,26 @@ def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin, tmax=INF):
     """Closest sphere hit over all chunks, within [tmin, tmax].
 
     Returns (t [R], payload) with payload = (center_at_t [R,3], rad [R],
-    mat [R])."""
+    mat [R], pid [R]); ``pid`` is the chunk-order sphere index (chunk*C +
+    lane), consumed by the replay backward (ops/replay.py)."""
     R = org.shape[0]
     f32 = org.dtype
+    K, C = chunks.rad.shape
     t_init = jnp.minimum(jnp.full((R,), INF, f32), tmax)
     init = (
         t_init,
         jnp.zeros((R, 3), f32),  # time-lerped center of the winner
         jnp.ones((R,), f32),     # radius
         jnp.zeros((R,), jnp.int32),
+        jnp.zeros((R,), jnp.int32),  # pid
     )
 
     def step(carry, xs):
         t_best = carry[0]
-        c0, c1, rad, mat, active, lo, hi = xs
+        k, c0, c1, rad, mat, active, lo, hi = xs
 
         def body(carry):
-            t_best, ctr_b, rad_b, m_b = carry
+            t_best, ctr_b, rad_b, m_b, p_b = carry
             ts = _sphere_chunk_ts(org, dirs, time, c0, c1, rad, active,
                                   tmin, t_best)
             t_c = jnp.min(ts, axis=-1)
@@ -226,13 +229,14 @@ def sphere_closest(org, dirs, time, chunks: SphereChunks, tmin, tmax=INF):
                 jnp.where(better[:, None], ctr_c, ctr_b),
                 jnp.where(better, jnp.maximum(rad_c, 1e-20), rad_b),
                 jnp.where(better, m_c, m_b),
+                jnp.where(better, k * C + idx, p_b),
             )
 
         hit_possible = _chunk_cull(org, dirs, lo, hi, tmin, t_best)
         return jax.lax.cond(hit_possible, body, lambda c: c, carry), None
 
-    xs = (chunks.c0, chunks.c1, chunks.rad, chunks.mat, chunks.active,
-          chunks.lo, chunks.hi)
+    xs = (jnp.arange(K, dtype=jnp.int32), chunks.c0, chunks.c1, chunks.rad,
+          chunks.mat, chunks.active, chunks.lo, chunks.hi)
     out, _ = jax.lax.scan(step, init, xs)
-    t, center, rad, mat = out
-    return jnp.where(t < t_init, t, INF), (center, rad, mat)
+    t, center, rad, mat, pid = out
+    return jnp.where(t < t_init, t, INF), (center, rad, mat, pid)

@@ -627,7 +627,7 @@ def _intersect_core(scene, org, dirs, time, tmin, u_vol, tmax=INF,
         return pk, normal_k, front_k, u_k, v_k, m_k
 
     if sph_payload is not None:
-        center, rad_w, m_w = sph_payload
+        center, rad_w, m_w = sph_payload[:3]
         pk = org + jnp.where(jnp.isfinite(t_s), t_s, 0.0)[:, None] * dirs
         outward = (pk - center) / rad_w[:, None]
         front_k = vm.dot(dirs, outward) < 0.0

@@ -39,8 +39,8 @@ Two schedules exist (env CRT_PACKET, measured in tools/packet_stats.py):
    ~66 s vs ~5.4 s at spp=4) but wins when visits are uniform. Kept for
    uniform-visit scenes and as the comparison baseline.
 
-Differentiability: forward-only + custom VJP running the XLA chunk scan
-backward (same pattern as ops/pallas_intersect.py).
+Differentiability: forward-only + custom VJP that replays the forward's
+winning primitive in O(R) (ops/replay.py).
 """
 
 from __future__ import annotations
@@ -167,7 +167,7 @@ def _sphere_tile(org, dirs, time, chunks: ch.SphereChunks, tmin, tmax):
     t_init = tmax
     init = (jnp.int32(0), t_init,
             jnp.zeros((T, 3), f32), jnp.ones((T,), f32),
-            jnp.zeros((T,), jnp.int32))
+            jnp.zeros((T,), jnp.int32), jnp.zeros((T,), jnp.int32))
 
     def cond(state):
         s, t_best = state[0], state[1]
@@ -175,7 +175,7 @@ def _sphere_tile(org, dirs, time, chunks: ch.SphereChunks, tmin, tmax):
             & jnp.isfinite(near_sorted[s])
 
     def body(state):
-        s, t_best, ctr_b, rad_b, m_b = state
+        s, t_best, ctr_b, rad_b, m_b, p_b = state
         k = order[s]
         sl = lambda a: jax.lax.dynamic_slice_in_dim(a, k, 1, axis=0)[0]
         c0, c1, rad = sl(chunks.c0), sl(chunks.c1), sl(chunks.rad)
@@ -196,10 +196,11 @@ def _sphere_tile(org, dirs, time, chunks: ch.SphereChunks, tmin, tmax):
                           jnp.maximum(mm(rad[:, None])[:, 0], 1e-20), rad_b),
                 jnp.where(better,
                           jnp.round(mm(mat.astype(f32)[:, None]))[:, 0]
-                          .astype(jnp.int32), m_b))
+                          .astype(jnp.int32), m_b),
+                jnp.where(better, k * C + idx, p_b))
 
-    _, t, ctr, rad, m = jax.lax.while_loop(cond, body, init)
-    return jnp.where(t < t_init, t, INF), ctr, rad, m
+    _, t, ctr, rad, m, p = jax.lax.while_loop(cond, body, init)
+    return jnp.where(t < t_init, t, INF), ctr, rad, m, p
 
 
 def _visit_orders(org_t, dirs_t, tmax_t, lo, hi, tmin):
@@ -306,14 +307,14 @@ def _sphere_packet_tiled(org_t, dirs_t, time_t, tmax_t,
     t_init = tmax_t
     init = (jnp.int32(0), t_init,
             jnp.zeros((G, T, 3), f32), jnp.ones((G, T), f32),
-            jnp.zeros((G, T), jnp.int32))
+            jnp.zeros((G, T), jnp.int32), jnp.zeros((G, T), jnp.int32))
 
     def cond(state):
         s, t_best = state[0], state[1]
         return (s < K) & jnp.any(_tiles_live(near_sorted, s, t_best))
 
     def body(state):
-        s, t_best, ctr_b, rad_b, m_b = state
+        s, t_best, ctr_b, rad_b, m_b, p_b = state
         k = jax.lax.dynamic_slice_in_dim(order, s, 1, axis=1)[:, 0]  # [G]
         c0, c1, rad = chunks.c0[k], chunks.c1[k], chunks.rad[k]
         active, mat = chunks.active[k], chunks.mat[k]
@@ -337,10 +338,11 @@ def _sphere_packet_tiled(org_t, dirs_t, time_t, tmax_t,
                           rad_b),
                 jnp.where(better,
                           jnp.round(mm(mat.astype(f32)[..., None]))[..., 0]
-                          .astype(jnp.int32), m_b))
+                          .astype(jnp.int32), m_b),
+                jnp.where(better, (k * C)[:, None] + idx, p_b))
 
-    _, t, ctr, rad, m = jax.lax.while_loop(cond, body, init)
-    return jnp.where(t < t_init, t, INF), ctr, rad, m
+    _, t, ctr, rad, m, p = jax.lax.while_loop(cond, body, init)
+    return jnp.where(t < t_init, t, INF), ctr, rad, m, p
 
 
 def sphere_closest_packet(org, dirs, time, chunks: ch.SphereChunks, tmin,
@@ -348,43 +350,49 @@ def sphere_closest_packet(org, dirs, time, chunks: ch.SphereChunks, tmin,
     """Drop-in for ops.chunked.sphere_closest (forward only).
 
     ``tmax``: scalar or per-ray [R] traversal cap (see _chunk_hits).
-    Returns (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
+    Returns (t [R], (center_at_t [R,3], rad [R], mat [R], pid [R]))."""
     R = org.shape[0]
     tile = min(tile or _default_tile(), max(R, 1))
     tmax_r = jnp.broadcast_to(jnp.asarray(tmax, org.dtype), (R,))
     org_t, dirs_t, time_t, tmax_t = _pad_tiles([org, dirs, time, tmax_r],
                                                R, tile)
     if _schedule() == "lockstep":
-        t, ctr, rad, m = _sphere_packet_tiled(org_t, dirs_t, time_t, tmax_t,
-                                              chunks, tmin)
+        t, ctr, rad, m, p = _sphere_packet_tiled(org_t, dirs_t, time_t,
+                                                 tmax_t, chunks, tmin)
     else:
-        t, ctr, rad, m = jax.lax.map(
+        t, ctr, rad, m, p = jax.lax.map(
             lambda xs: _sphere_tile(xs[0], xs[1], xs[2], chunks, tmin,
                                     xs[3]),
             (org_t, dirs_t, time_t, tmax_t))
     flat = lambda a: a.reshape((-1,) + a.shape[2:])[:R]
-    return flat(t), (flat(ctr), flat(rad), flat(m))
+    return flat(t), (flat(ctr), flat(rad), flat(m), flat(p))
 
 
 # ------------------------------------------------------------- autodiff glue
+# Backward = winner replay (ops/replay.py): O(R) re-intersection of the
+# forward's winning primitive instead of the full chunk-scan VJP — see
+# ops/perray.py's glue for the rationale.
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def planar_closest_accel(org, dirs, chunks, tmin, triangle, tmax=INF):
-    """Packet forward + XLA chunk-scan backward: the differentiable default
-    accelerator for large planar tables. ``tmax`` may be scalar or per-ray
-    [R] (a traced operand; it is a traversal *bound*, so it carries no
-    gradient)."""
+    """Packet forward + O(R) winner-replay backward: the differentiable
+    default accelerator for large planar tables. ``tmax`` may be scalar or
+    per-ray [R] (a traced operand; it is a traversal *bound*, so it carries
+    no gradient)."""
     return planar_closest_packet(org, dirs, chunks, tmin, triangle, tmax=tmax)
 
 
 def _planar_fwd(org, dirs, chunks, tmin, triangle, tmax):
     out = planar_closest_packet(org, dirs, chunks, tmin, triangle, tmax=tmax)
-    return out, (org, dirs, chunks, tmax)
+    return out, (org, dirs, chunks, tmax, out[1][4])
 
 
 def _planar_bwd(tmin, triangle, res, ct):
-    org, dirs, chunks, tmax = res
+    from cpu_ray_tracing_implementation_tpu.ops import replay
+
+    org, dirs, chunks, tmax, pid = res
     _, vjp = jax.vjp(
-        lambda o, d, c: ch.planar_closest(o, d, c, tmin, triangle, tmax=tmax),
+        lambda o, d, c: replay.planar_chunks_winner(o, d, c, pid, tmin,
+                                                    triangle, tmax),
         org, dirs, chunks)
     return vjp(ct) + (jnp.zeros_like(tmax),)
 
@@ -394,20 +402,23 @@ planar_closest_accel.defvjp(_planar_fwd, _planar_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sphere_closest_accel(org, dirs, time, chunks, tmin, tmax=INF):
-    """Packet forward + XLA chunk-scan backward for sphere chunks.
+    """Packet forward + O(R) winner-replay backward for sphere chunks.
     ``tmax``: scalar or per-ray [R] bound (no gradient)."""
     return sphere_closest_packet(org, dirs, time, chunks, tmin, tmax=tmax)
 
 
 def _sphere_fwd(org, dirs, time, chunks, tmin, tmax):
     out = sphere_closest_packet(org, dirs, time, chunks, tmin, tmax=tmax)
-    return out, (org, dirs, time, chunks, tmax)
+    return out, (org, dirs, time, chunks, tmax, out[1][3])
 
 
 def _sphere_bwd(tmin, res, ct):
-    org, dirs, time, chunks, tmax = res
+    from cpu_ray_tracing_implementation_tpu.ops import replay
+
+    org, dirs, time, chunks, tmax, pid = res
     _, vjp = jax.vjp(
-        lambda o, d, tm, c: ch.sphere_closest(o, d, tm, c, tmin, tmax=tmax),
+        lambda o, d, tm, c: replay.sphere_chunks_winner(o, d, tm, c, pid,
+                                                        tmin, tmax),
         org, dirs, time, chunks)
     return vjp(ct) + (jnp.zeros_like(tmax),)
 

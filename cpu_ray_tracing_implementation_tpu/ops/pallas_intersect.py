@@ -342,7 +342,7 @@ def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
                           interpret: bool = False, tmax=BIG):
     """Drop-in for ops.chunked.sphere_closest (forward only).
 
-    Returns (t [R], (center_at_t [R,3], rad [R], mat [R]))."""
+    Returns (t [R], (center_at_t [R,3], rad [R], mat [R], pid [R]))."""
     R = org.shape[0]
     K, C = chunks.rad.shape
     R_pad = ((R + TILE_R - 1) // TILE_R) * TILE_R
@@ -377,8 +377,11 @@ def sphere_closest_pallas(org, dirs, time, chunks: ch.SphereChunks, tmin,
     out = out[:, :R]
     t = jnp.where(out[SOUT_VALID] > 0.5, out[SOUT_T], jnp.inf)
     center = out[SOUT_CX:SOUT_CZ + 1].T
+    # pid is not carried through the kernel (like the planar kernel) — the
+    # fused path keeps the chunk-scan backward, which needs no pid
     return t, (center, out[SOUT_RAD],
-               jnp.round(out[SOUT_MAT]).astype(jnp.int32))
+               jnp.round(out[SOUT_MAT]).astype(jnp.int32),
+               jnp.zeros((R,), jnp.int32))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))

@@ -76,9 +76,9 @@ def test_sphere_traversal_matches_chunked(sphere_scene):
     rng = np.random.default_rng(1)
     org, dirs = _rand_rays(rng, 512)
     time = jnp.zeros((512,), jnp.float32)
-    t_c, (ctr_c, rad_c, m_c) = chunked.sphere_closest(
+    t_c, (ctr_c, rad_c, m_c, p_c) = chunked.sphere_closest(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
-    t_b, (ctr_b, rad_b, m_b) = bvh_mod.sphere_closest_bvh(
+    t_b, (ctr_b, rad_b, m_b, p_b) = bvh_mod.sphere_closest_bvh(
         org, dirs, time, sphere_scene.sphere_tree, 1e-3)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_b = np.isfinite(np.asarray(t_b))

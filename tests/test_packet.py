@@ -47,9 +47,9 @@ def test_sphere_packet_matches_chunked(sphere_scene, tile):
     rng = np.random.default_rng(1)
     org, dirs = _rand_rays(rng, 777)
     time = jnp.zeros((777,), jnp.float32)
-    t_c, (ctr_c, rad_c, m_c) = chunked.sphere_closest(
+    t_c, (ctr_c, rad_c, m_c, p_c) = chunked.sphere_closest(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
-    t_p, (ctr_p, rad_p, m_p) = pkt.sphere_closest_packet(
+    t_p, (ctr_p, rad_p, m_p, p_p) = pkt.sphere_closest_packet(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3, tile=tile)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_p = np.isfinite(np.asarray(t_p))

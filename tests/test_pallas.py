@@ -94,9 +94,9 @@ def test_sphere_kernel_matches_scan():
     org, dirs = _rays(rng)
     time = jnp.full((org.shape[0],), 0.4)
 
-    t_ref, (c_ref, r_ref, m_ref) = chunked.sphere_closest(
+    t_ref, (c_ref, r_ref, m_ref, _) = chunked.sphere_closest(
         org, dirs, time, scene.sphere_chunks, 1e-3)
-    t_pk, (c_pk, r_pk, m_pk) = pk.sphere_closest_pallas(
+    t_pk, (c_pk, r_pk, m_pk, _) = pk.sphere_closest_pallas(
         org, dirs, time, scene.sphere_chunks, 1e-3, interpret=True)
 
     valid = np.isfinite(np.asarray(t_ref))

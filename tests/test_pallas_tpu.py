@@ -48,9 +48,9 @@ def test_compiled_sphere_kernel_matches_scan(sphere_scene):
     rng = np.random.default_rng(1)
     org, dirs = _rand_rays(rng, 2048)
     time = jnp.zeros((2048,), jnp.float32)
-    t_c, (_, _, m_c) = chunked.sphere_closest(
+    t_c, (_, _, m_c, _) = chunked.sphere_closest(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
-    t_p, (_, _, m_p) = pk.sphere_closest_pallas(
+    t_p, (_, _, m_p, _) = pk.sphere_closest_pallas(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3, interpret=False)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_p = np.isfinite(np.asarray(t_p))

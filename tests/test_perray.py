@@ -83,9 +83,9 @@ def test_sphere_perray_matches_chunked(sphere_scene, V, monkeypatch):
     rng = np.random.default_rng(1)
     org, dirs = _rand_rays(rng, 777)
     time = jnp.zeros((777,), jnp.float32)
-    t_c, (ctr_c, rad_c, m_c) = chunked.sphere_closest(
+    t_c, (ctr_c, rad_c, m_c, p_c) = chunked.sphere_closest(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
-    t_r, (ctr_r, rad_r, m_r) = perray.sphere_closest_perray(
+    t_r, (ctr_r, rad_r, m_r, p_r) = perray.sphere_closest_perray(
         org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
     hit_c = np.isfinite(np.asarray(t_c))
     hit_r = np.isfinite(np.asarray(t_r))
