@@ -426,12 +426,13 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     order differs (allclose, not bitwise). Forward-only: the loop is a
     ``lax.while_loop`` (not reverse-differentiable); gradient paths use the
     classic scan.
+
+    NEE (camera.nee): the carried power-heuristic emission weight rides the
+    lane state (reset to 1 on refill) and the final-segment shadow-ray skip
+    gates per lane on its own bounce index — the same estimator as the
+    classic scan (same uniform slots, so each path's radiance matches it).
     """
-    if camera.nee:
-        raise NotImplementedError(
-            "render_wavefront does not support camera.nee yet — use the "
-            "classic scan (render_image); NEE there covers every "
-            "production path (full-frame, tiled, sharded, adaptive, diff)")
+    nee = camera.nee
     n_pix = camera.width * camera.height
     n_vol = scene.n_volumes
     nslot = mat_ops.NSLOT + n_vol
@@ -538,6 +539,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
         (path_id, bounce, org, dirs, time, throughput, radiance, alive,
          issued, image) = state[:10]
         wl = state[10] if dispersive else None
+        emis_w = state[11 if dispersive else 10] if nee else None
         pix = path_id % n_pix
         if use_qmc:
             s = jnp.clip(path_id // n_pix, 0, spp - 1)
@@ -573,9 +575,19 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             rr_u = jnp.where(bounce >= rr_depth, u_rr, -1.0)
 
         ior_shift = spectrum.cauchy_ior_shift(wl) if dispersive else None
-        org, dirs, time, throughput, radiance, alive2 = _shade_step(
+        # per-lane final-segment gate: a lane's own bounce index decides
+        # whether its shadow ray fits the depth budget (classic scan:
+        # render_rays' scalar bounce_idx < max_depth - 1)
+        nee_shadow = (bounce < max_depth - 1) if nee else True
+        step_out = _shade_step(
             scene, org, dirs, time, throughput, radiance, alive, u,
-            ior_shift=ior_shift, rr_u=rr_u)
+            ior_shift=ior_shift, rr_u=rr_u, emis_w=emis_w,
+            nee_shadow=nee_shadow)
+        if nee:
+            (org, dirs, time, throughput, radiance, alive2,
+             emis_w_next) = step_out
+        else:
+            org, dirs, time, throughput, radiance, alive2 = step_out
         bounce = bounce + 1
         alive2 = alive2 & (bounce < max_depth)
 
@@ -609,6 +621,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
                alive, issued, image)
         if dispersive:
             out += (jnp.where(fresh, spawn_wavelength(path_id), wl),)
+        if nee:
+            out += (jnp.where(fresh, 1.0, emis_w_next),)
         return out
 
     def cond(state):
@@ -622,6 +636,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
              jnp.int32(R), jnp.zeros((n_pix, 3), f32))
     if dispersive:
         state += (spawn_wavelength(path0),)
+    if nee:
+        state += (jnp.ones((R,), f32),)
     state = jax.lax.while_loop(cond, body, state)
     return state[9]
 

@@ -10,12 +10,12 @@ keeps the reference-parity estimator bitwise intact (golden pins).
 
 Tests: unbiasedness (grand mean parity vs the classic estimator),
 variance reduction, specular + dielectric handling, env-light
-composition, QMC composition, and the wavefront guard.
+composition, QMC composition, and wavefront parity (the path-regeneration
+integrator reconstructs the same per-path streams and emis_w carry).
 """
 
 import jax
 import numpy as np
-import pytest
 
 from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
 from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
@@ -119,8 +119,25 @@ def test_nee_gradients_finite():
     assert float(np.abs(np.asarray(gs["tex_color0"])).sum()) > 0.0
 
 
-def test_nee_wavefront_guard():
-    scene, cam = catalog.cornell_box(width=8, spp=1, max_depth=2)
-    with pytest.raises(NotImplementedError):
-        integrator.render_image_wavefront(scene, cam.replace(nee=True),
-                                          jax.random.key(0), spp=1)
+def test_nee_wavefront_matches_classic():
+    """The wavefront carries emis_w through lane refills and gates the
+    final-segment shadow ray on each lane's own bounce index, so NEE
+    renders agree with the classic scan (summation order only) — mirrors
+    test_rr.py's wavefront-parity pattern."""
+    scene, cam = catalog.cornell_box(width=16, spp=8, max_depth=4)
+    cam = cam.replace(nee=True)
+    key = jax.random.key(3)
+    classic = np.asarray(integrator.render_image(scene, cam, key))
+    wave = np.asarray(integrator.render_image_wavefront(scene, cam, key))
+    np.testing.assert_allclose(wave, classic, rtol=2e-4, atol=2e-5)
+
+
+def test_nee_wavefront_composes_with_rr_and_env():
+    """NEE + RR + env-light mixture through the wavefront: the three carried
+    streams (slots, RR fold, emis_w) refill consistently per lane."""
+    scene, cam = catalog.simple_light_earth(width=16, spp=4, max_depth=5)
+    cam = cam.replace(nee=True, rr_depth=2)
+    key = jax.random.key(5)
+    classic = np.asarray(integrator.render_image(scene, cam, key))
+    wave = np.asarray(integrator.render_image_wavefront(scene, cam, key))
+    np.testing.assert_allclose(wave, classic, rtol=2e-4, atol=2e-5)
