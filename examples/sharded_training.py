@@ -42,9 +42,9 @@ def main():
     # falls monotonically (a real fit re-draws per step, diff.fit_scene)
     key = jax.random.key(0)
     for step in range(3):
-        loss, grads = pm.render_loss_and_grad_sharded(
+        loss, (gs, _gc) = pm.render_loss_and_grad_sharded(
             scene, cam, key, target, mesh, spp=4)
-        g = grads["color0"]
+        g = gs["tex_color0"]
         scene = scene.replace(textures=scene.textures.replace(
             color0=jnp.clip(scene.textures.color0 - 0.5 * g, 0.0, None)))
         print(f"step {step}: loss {float(loss):.5f} "
