@@ -39,3 +39,27 @@ else:
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# Every compiled XLA:CPU executable holds hundreds of JIT code mappings
+# (~600-700 for a render graph on the 8-device backend); the full suite
+# crosses the kernel's vm.max_map_count (65530 default) about two thirds
+# in, at which point LLVM's JIT segfaults on the next compile (observed as
+# deterministic "Fatal Python error: Segmentation fault" inside
+# backend_compile_and_load at a position-dependent test). Dropping the jit
+# caches unmaps them (measured: 3514 -> 599 maps), so clear when the map
+# count nears the limit — rare enough (~2-3 times a full run) that the
+# recompile cost is minor.
+_MAPS_LIMIT = 40_000
+
+
+@pytest.fixture(autouse=True)
+def _jit_map_pressure_guard():
+    yield
+    try:
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+    except OSError:
+        return
+    if n > _MAPS_LIMIT:
+        jax.clear_caches()
