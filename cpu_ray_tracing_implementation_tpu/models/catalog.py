@@ -438,13 +438,11 @@ def textured_fox(width=None, spp=None, max_depth=None):
 
     w, s, d = _cam_args(width, spp, max_depth, 600, 100, 5)
     b = SceneBuilder()
-    tris, normals, uvs = gltf.load_mesh(image_io.reference_asset("Fox/glTF/Fox.gltf"))
-    tex_img = image_io.load_image(image_io.reference_asset("Fox/glTF/Texture.png"))
-    fur = b.lambertian(b.picture(tex_img))
-    if len(tris):
-        b.triangles(tris, fur, normals=normals, uvs=uvs)
-    else:  # asset missing: keep the scene buildable (magenta-style fallback)
-        b.sphere((0, 40, 0), 40.0, fur)
+    asset = gltf.load_asset(image_io.reference_asset("Fox/glTF/Fox.gltf"))
+    # per-primitive material binding: the Fox's own glTF material carries
+    # Texture.png as baseColorTexture — no hand-binding
+    if not b.gltf_asset(asset):  # asset missing: keep the scene buildable
+        b.sphere((0, 40, 0), 40.0, b.lambertian((1.0, 0.0, 1.0)))
     b.set_background(_skybox(b))
     return b.build(), cam.perspective(w, 1.0, (220, 220, 220), (0, 40, 0), 1, 45.0, s, d)
 

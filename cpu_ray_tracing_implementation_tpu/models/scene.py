@@ -425,6 +425,58 @@ class SceneBuilder:
             self._tri_attrs.append(None if n_i is None and uv_i is None
                                    else (n_i, uv_i))
 
+    def gltf_asset(self, asset, default_mat: int | None = None,
+                   filter: str = "nearest") -> int:
+        """Add every primitive of a ``utils.gltf.GltfAsset`` bound to its
+        OWN glTF material: baseColorTexture (sampled via the primitive's
+        UVs) or solid baseColorFactor, as a lambertian surface. This is the
+        binding the reference parses and then drops — no main.cc scene ever
+        reads the loader's materials (src/gltf_loader.h:706-758).
+
+        A non-unit factor premultiplies the texture host-side (glTF's
+        baseColor = factor * texture). ``default_mat``: material for
+        primitives without one (default: white lambertian). Returns the
+        number of triangles added."""
+        import numpy as _np
+
+        mat_cache: dict = {}
+
+        def mat_for(mi: int) -> int:
+            if mi in mat_cache:
+                return mat_cache[mi]
+            if mi < 0 or mi >= len(asset.materials):
+                mid = (default_mat if default_mat is not None
+                       else self.lambertian((1.0, 1.0, 1.0)))
+            else:
+                m = asset.materials[mi]
+                f = _np.asarray(m.base_color_factor[:3], _np.float32)
+                if m.base_color_image is not None:
+                    img = m.base_color_image
+                    if not _np.allclose(f, 1.0):
+                        img = img * f[None, None, :]
+                    mid = self.lambertian(self.picture(img, filter=filter))
+                else:
+                    mid = self.lambertian(tuple(f))
+            mat_cache[mi] = mid
+            return mid
+
+        n = 0
+        for p in asset.primitives:
+            if not len(p.indices):
+                continue
+            corners = p.indices.reshape(-1, 3)
+            normals = p.normals[corners] if p.normals is not None else None
+            uvs = None
+            if p.uvs is not None:
+                uvs = p.uvs[corners].copy()
+                # glTF UV origin is top-left; picture textures sample with
+                # the reference's bottom-left v-flip (src/texture.h:68-74)
+                uvs[..., 1] = 1.0 - uvs[..., 1]
+            self.triangles(p.triangles, mat_for(p.material),
+                           normals=normals, uvs=uvs)
+            n += len(corners)
+        return n
+
     def volume_box(self, a, b, density: float, tex_or_color, rotate=None, translate=None):
         """Constant-density medium in a (possibly rotated) box boundary
         (src/volumne.h + the smoke boxes in main.cc:227-283)."""

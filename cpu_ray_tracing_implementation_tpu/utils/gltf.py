@@ -62,8 +62,23 @@ class Primitive:
 
 
 @dataclass
+class Material:
+    """glTF PBR material reduced to what the renderer binds: base color.
+
+    The reference parses pbrMetallicRoughness (factor + baseColorTexture)
+    and then never uses it — no main.cc scene reads loader materials
+    (src/gltf_loader.h:706-758). Here the parsed base color binds per
+    primitive via SceneBuilder.gltf_asset."""
+
+    base_color_factor: tuple = (1.0, 1.0, 1.0, 1.0)
+    base_color_image: np.ndarray | None = None  # [h,w,3] f32 byte-scale
+    name: str = ""
+
+
+@dataclass
 class GltfAsset:
     primitives: list = field(default_factory=list)
+    materials: list = field(default_factory=list)
 
     def all_triangles(self) -> np.ndarray:
         """Concatenated [T,3,3] world-space triangles of every primitive."""
@@ -117,6 +132,7 @@ class GltfLoader:
                 self.gltf = json.loads(f.read().decode("utf-8"))
                 self._glb_bin = None
         self._load_buffers()
+        self.materials = self._load_materials()
         self._walk_scene()
 
     # ------------------------------------------------------------ containers
@@ -151,6 +167,56 @@ class GltfLoader:
                 else:
                     print(f"[gltf] missing buffer {p!r}; primitives using it are dropped")
                     self._buffers.append(None)
+
+    # ------------------------------------------------------------ materials
+    def _load_materials(self) -> list:
+        """Parse materials[] down to base color (factor + texture image) —
+        the data the reference's loader reads and drops
+        (src/gltf_loader.h:706-758; its metallicRoughnessTexture even
+        overwrites base_color_texture_index, :749-751)."""
+        mats = []
+        for m in self.gltf.get("materials", []):
+            pbr = m.get("pbrMetallicRoughness", {})
+            factor = tuple(pbr.get("baseColorFactor", (1.0, 1.0, 1.0, 1.0)))
+            img = None
+            if "baseColorTexture" in pbr:
+                try:
+                    tex = self.gltf["textures"][pbr["baseColorTexture"]["index"]]
+                    if "source" in tex:
+                        img = self._load_image(tex["source"])
+                except Exception as e:  # degrade, not die (image.h:75 spirit)
+                    print(f"[gltf] baseColorTexture load failed: {e}")
+            mats.append(Material(base_color_factor=factor,
+                                 base_color_image=img,
+                                 name=m.get("name", "")))
+        return mats
+
+    def _load_image(self, idx: int) -> np.ndarray | None:
+        """images[idx] -> [h,w,3] float32 byte-scale (file uri, data uri, or
+        GLB bufferView)."""
+        image = self.gltf["images"][idx]
+        uri = image.get("uri")
+        if uri and not uri.startswith("data:"):
+            from cpu_ray_tracing_implementation_tpu.utils import image_io
+
+            return image_io.load_image(os.path.join(self.dir, uri))
+        if uri:
+            raw = base64.b64decode(uri.split(",", 1)[1])
+        elif "bufferView" in image:
+            bv = self.gltf["bufferViews"][image["bufferView"]]
+            buf = self._buffers[bv["buffer"]]
+            if buf is None:
+                return None
+            off = bv.get("byteOffset", 0)
+            raw = buf[off:off + bv["byteLength"]]
+        else:
+            return None
+        import io
+
+        from PIL import Image
+
+        with Image.open(io.BytesIO(raw)) as im:
+            return np.asarray(im.convert("RGB"), np.float32)
 
     # ------------------------------------------------------------ accessors
     def _read_accessor(self, idx: int) -> np.ndarray | None:
@@ -251,7 +317,8 @@ def load_asset(path: str) -> GltfAsset:
         print(f"[gltf] {path!r} not found; returning empty asset")
         return GltfAsset()
     try:
-        return GltfAsset(primitives=GltfLoader(path).primitives)
+        ld = GltfLoader(path)
+        return GltfAsset(primitives=ld.primitives, materials=ld.materials)
     except Exception as e:  # noqa: BLE001
         print(f"[gltf] failed to parse {path!r}: {e}; returning empty asset")
         return GltfAsset()
