@@ -429,6 +429,37 @@ def sponza(width=None, spp=None, max_depth=None, substitute_tris=260_000):
 
 
 # -------------------------------------------------------- extension scenes
+def smoke_fox(width=None, spp=None, max_depth=None):
+    """Beyond-parity extension: the glTF Fox wrapped as a constant-density
+    medium (VOL_MESH) — the wrap-any-hittable volume generality the
+    reference's volumne has (src/volumne.h:9-21) exercised on a real mesh.
+    The Fox is non-convex, so the medium fills each ray's [entry, last
+    exit] span (documented in SceneBuilder.volume_mesh)."""
+    from cpu_ray_tracing_implementation_tpu.utils import gltf
+
+    w, s, d = _cam_args(width, spp, max_depth, 400, 60, 5)
+    b = SceneBuilder()
+    verts = gltf.load_triangles(image_io.reference_asset("Fox/glTF/Fox.gltf"))
+    if not len(verts):  # asset missing: keep the scene buildable
+        th = np.linspace(0, 2 * np.pi, 9)[:-1]
+        ring = np.stack([40 * np.cos(th), 40 + 0 * th, 40 * np.sin(th)], -1)
+        apex_t = np.array([0.0, 90.0, 0.0])
+        apex_b = np.array([0.0, -10.0, 0.0])
+        verts = np.concatenate([
+            np.stack([ring, np.roll(ring, -1, 0),
+                      np.broadcast_to(apex_t, ring.shape)], 1),
+            np.stack([np.roll(ring, -1, 0), ring,
+                      np.broadcast_to(apex_b, ring.shape)], 1)])
+    b.volume_mesh(verts, 0.04, (0.8, 0.8, 0.85))
+    b.quad((-400, 0, -400), (800, 0, 0), (0, 0, 800),
+           b.lambertian((0.45, 0.4, 0.35)))
+    lq = b.quad((-80, 220, -80), (160, 0, 0), (0, 0, 160),
+                b.diffuse_light((6, 6, 6)))
+    b.light(lq)
+    b.set_background(b.solid((0.35, 0.45, 0.6)))
+    return b.build(), cam.perspective(w, 1.0, (220, 120, 220), (0, 45, 0), 1, 45.0, s, d)
+
+
 def textured_fox(width=None, spp=None, max_depth=None):
     """Beyond-parity extension: the glTF Fox rendered WITH its per-vertex
     normals, UVs and PNG texture — the data the reference's loader parses
@@ -532,6 +563,7 @@ SCENES = {
     # extensions beyond the reference catalog (see their docstrings)
     "cornell_box_with_sphere_light": cornell_box_with_sphere_light,
     "textured_fox": textured_fox,
+    "smoke_fox": smoke_fox,
     "dispersion_prism": dispersion_prism,
     "sunlit_spheres": sunlit_spheres,
 }

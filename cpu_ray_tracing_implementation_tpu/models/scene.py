@@ -53,6 +53,7 @@ TEX_VORONOI = 6
 # volume boundary kinds
 VOL_BOX = 0
 VOL_SPHERE = 1
+VOL_MESH = 2
 
 
 @struct.dataclass
@@ -101,13 +102,26 @@ class TriAttrs:
 
 @struct.dataclass
 class Volumes:
-    kind: jnp.ndarray    # [V] int32: VOL_BOX | VOL_SPHERE
+    kind: jnp.ndarray    # [V] int32: VOL_BOX | VOL_SPHERE | VOL_MESH
     center: jnp.ndarray  # [V,3]
     half: jnp.ndarray    # [V,3] half extents (sphere: radius in [:,0])
     rot: jnp.ndarray     # [V,3,3] object->world rotation
     neg_inv_density: jnp.ndarray  # [V]  -1/density (src/volumne.h:36)
     mat: jnp.ndarray     # [V] int32 (an isotropic material)
     active: jnp.ndarray  # [V] bool
+    # triangle-mesh boundaries (VOL_MESH rows): all mesh-volume boundary
+    # triangles concatenated. The reference's volumne wraps ANY hittable as
+    # the medium boundary (src/volumne.h:9-21); its first-hit / next-hit
+    # probe is exact only for convex boundaries, and this table matches that
+    # contract with a batched line sweep: entry/exit = min/max t over the
+    # volume's triangles along the full line (interval::universe probe,
+    # src/volumne.h:21-22). None when the scene has no mesh volumes — the
+    # branch then never enters the XLA graph.
+    mesh_v0: jnp.ndarray | None = None   # [MT,3]
+    mesh_e1: jnp.ndarray | None = None   # [MT,3] v1 - v0
+    mesh_e2: jnp.ndarray | None = None   # [MT,3] v2 - v0
+    mesh_vid: jnp.ndarray | None = None  # [MT] int32 owning volume row
+    mesh_active: jnp.ndarray | None = None  # [MT] bool
 
 
 @struct.dataclass
@@ -270,6 +284,7 @@ class SceneBuilder:
         self._tris = []   # (v0, v1, v2, mat)
         self._tri_attrs = []  # None or (normals [3,3], uvs [3,2]) per tri
         self._vols = []   # (kind, center, half, rot, density, mat)
+        self._vol_mesh = []  # (vol_row_index, verts [T,3,3]) mesh boundaries
         self._mats = []   # dict rows
         self._texs = []   # dict rows
         self._imgs = []   # np arrays
@@ -501,6 +516,26 @@ class SceneBuilder:
         self._vols.append((VOL_SPHERE, np.asarray(center, np.float64),
                            np.array([radius, radius, radius]), np.eye(3), float(density), mat))
         return len(self._vols) - 1
+
+    def volume_mesh(self, verts: np.ndarray, density: float, tex_or_color,
+                    rotate=None, translate=None):
+        """Constant-density medium bounded by a closed triangle mesh
+        ([T,3,3] vertices). Closes the reference's wrap-any-hittable volume
+        generality (src/volumne.h:9-21): the boundary is probed along the
+        whole line (interval::universe, src/volumne.h:21-22) and the medium
+        span is [first hit, last hit] — exact for convex closed meshes, the
+        same convexity assumption the reference's first-hit/next-hit probe
+        makes. Non-convex meshes are filled between their per-ray entry and
+        final exit (cavities along the ray are treated as medium)."""
+        verts = _apply_instance(np.asarray(verts, np.float64).reshape(-1, 3),
+                                rotate, translate).reshape(-1, 3, 3)
+        mat = self.isotropic(tex_or_color)
+        centroid = verts.reshape(-1, 3).mean(axis=0)
+        self._vols.append((VOL_MESH, centroid, np.ones(3), np.eye(3),
+                           float(density), mat))
+        vid = len(self._vols) - 1
+        self._vol_mesh.append((vid, verts))
+        return vid
 
     def light(self, quad_id: int):
         """Register a quad as an MIS-sampled light (the ``light`` argument to
@@ -735,6 +770,18 @@ class SceneBuilder:
             mat=jnp.asarray(pad(col(vol_rows, 5, np.int32), n_v)),
             active=jnp.asarray(np.arange(n_v) < len(vol_rows)),
         )
+        if self._vol_mesh:
+            mv = np.concatenate([m[1] for m in self._vol_mesh]).astype(f32)
+            mvid = np.concatenate([np.full(len(m[1]), m[0], np.int32)
+                                   for m in self._vol_mesh])
+            n_mt = len(mv)
+            vols = vols.replace(
+                mesh_v0=jnp.asarray(mv[:, 0]),
+                mesh_e1=jnp.asarray(mv[:, 1] - mv[:, 0]),
+                mesh_e2=jnp.asarray(mv[:, 2] - mv[:, 0]),
+                mesh_vid=jnp.asarray(mvid),
+                mesh_active=jnp.asarray(np.ones(n_mt, bool)),
+            )
 
         if not self._mats:
             self._mat_row()

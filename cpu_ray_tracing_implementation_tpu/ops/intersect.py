@@ -339,6 +339,26 @@ def volume_sample(org, dirs, vols, tmin, t_surface, u_vol):
     t1 = jnp.where(is_box, t1_box, t1_sph)
     t2 = jnp.where(is_box, t2_box, t2_sph)
 
+    # mesh boundary (VOL_MESH): probe every boundary triangle along the full
+    # line (the reference's interval::universe probe, src/volumne.h:21-22);
+    # the medium span is [min t, max t] over the volume's triangles — exact
+    # for closed convex boundaries, the reference's own assumption. Static
+    # branch: scenes without mesh volumes never build this graph.
+    if vols.mesh_v0 is not None:
+        ts_m = _planar_ts(org, dirs, vols.mesh_v0, vols.mesh_e1, vols.mesh_e2,
+                          vols.mesh_active, -BIG, BIG, triangle=True)  # [R,MT]
+        hit_m = jnp.isfinite(ts_m)
+        n_v = vols.kind.shape[0]
+        # [V,MT] ownership mask; the broadcasted [R,V,MT] min/max fuses into
+        # the reduce (V is tiny) — no scatter, no per-row gather
+        own = (vols.mesh_vid[None, :] == jnp.arange(n_v)[:, None])
+        sel = own[None] & hit_m[:, None, :]                     # [R,V,MT]
+        t1_mesh = jnp.min(jnp.where(sel, ts_m[:, None, :], BIG), axis=-1)
+        t2_mesh = jnp.max(jnp.where(sel, ts_m[:, None, :], -BIG), axis=-1)
+        is_mesh = (vols.kind == 2)[None, :]
+        t1 = jnp.where(is_mesh, t1_mesh, t1)
+        t2 = jnp.where(is_mesh, t2_mesh, t2)
+
     # clamp to [tmin, closest surface] (src/volumne.h:25-29)
     t1c = jnp.maximum(t1, tmin)
     t2c = jnp.minimum(t2, t_surface[:, None])

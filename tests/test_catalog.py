@@ -14,7 +14,7 @@ def test_catalog_has_all_22_scenes():
     """All 22 reference scenes (main.cc:634-657) plus catalog extensions."""
     ref_scenes = 22
     extensions = {"cornell_box_with_sphere_light", "textured_fox",
-                  "dispersion_prism", "sunlit_spheres"}
+                  "dispersion_prism", "sunlit_spheres", "smoke_fox"}
     assert len(catalog.SCENES) == ref_scenes + len(extensions)
     assert extensions <= set(catalog.SCENES)
 

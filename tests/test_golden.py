@@ -48,6 +48,7 @@ GOLDEN_MEANS = {
     "textured_fox": 0.620839,
     "dispersion_prism": 0.782510,  # recorded 2026-08-18 (spectral mode)
     "sunlit_spheres": 0.090164,    # recorded 2026-08-18 (env MIS)
+    "smoke_fox": 0.417005,         # recorded 2026-08-20 (VOL_MESH)
     "three_material_ball": 0.563181,
     "three_material_ball_with_defocus_blur": 0.605853,
     "white_sphere": 1.000000,
