@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Russian-roulette path termination from bounce N "
                         "(unbiased; frees deep-path lanes — the wavefront "
                         "integrator refills them)")
+    p.add_argument("--wavefront", action="store_true",
+                   help="path-regeneration wavefront integrator: lanes "
+                        "refill from the (pixel, sample) queue the moment "
+                        "a path dies, so work = actual path segments "
+                        "instead of pixels*spp*max_depth (forward-only; "
+                        "per-path radiance bitwise-equal to the classic "
+                        "scan, image allclose)")
     p.add_argument("--clamp", type=float, default=None, metavar="C",
                    help="firefly clamp: per-sample radiance min'd against C "
                         "per channel (variance/bias trade; off by default)")
@@ -92,7 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
 CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
                "denoise", "aovs", "adaptive", "clamp", "qmc", "tonemap",
-               "tile_pixels", "rr_depth", "nee")
+               "tile_pixels", "rr_depth", "nee", "wavefront")
 
 
 def main(argv=None) -> int:
@@ -193,6 +200,8 @@ def main(argv=None) -> int:
             print(f"Adaptive spp: mean {spp_map.mean():.1f}, "
                   f"min {spp_map.min()}, max {spp_map.max()} "
                   f"(budget {cam.spp})")
+        elif args.wavefront:
+            img = integrator.render_image_wavefront(scene, cam, key)
         elif args.tile_pixels:
             img = integrator.render_image_tiled(scene, cam, key,
                                                 tile_pixels=args.tile_pixels)

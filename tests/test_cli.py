@@ -49,3 +49,21 @@ def test_config_scene_and_output(tmp_path):
     args = _merged_args(tmp_path, {"scene": "cornell_box", "output": "x.png"})
     assert args.scene == "cornell_box"
     assert args.output == "x.png"
+
+
+def test_wavefront_flag_end_to_end(tmp_path):
+    """--wavefront renders through the path-regeneration integrator and
+    produces (quantization aside) the classic scan's image."""
+    import numpy as np
+
+    out_w = tmp_path / "wf.png"
+    out_c = tmp_path / "classic.png"
+    base = ["cornell_box", "--width", "16", "--spp", "2",
+            "--max-depth", "3"]
+    assert render_mod.main(base + ["--wavefront", "-o", str(out_w)]) == 0
+    assert render_mod.main(base + ["-o", str(out_c)]) == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open(out_w), np.int16)
+    b = np.asarray(Image.open(out_c), np.int16)
+    assert np.abs(a - b).max() <= 1  # 8-bit rounding only
