@@ -537,6 +537,27 @@ def sunlit_spheres(width=None, spp=None, max_depth=None):
                                       1, 35.0, s, d)
 
 
+def all_materials_fixture(width=None, spp=None, max_depth=None):
+    """Every differentiable material family live in ONE tiny scene — the
+    test/dryrun fixture behind the sharded full-parameter gradient
+    comparisons (not in SCENES; round-3 VERDICT weak 4: cornell_box keeps
+    fuzz/ior/smoothness/spec_prob gradients structurally zero, so "every
+    family matches" was vacuous there). Checker ground (tex_color0 AND
+    tex_color1), dielectric (ior), fuzzy metal (fuzz), gloss (smoothness,
+    spec_prob), plus a quad light so emission rows are live too."""
+    w, s, d = _cam_args(width, spp, max_depth, 64, 4, 4)
+    b = SceneBuilder()
+    ground = b.lambertian(b.checker((1, 1, 1), (0.6, 0.6, 0.2), 1.0))
+    b.sphere((0, -1000, 0), 1000, ground)
+    b.sphere((0, 1, 0), 1.0, b.dielectric(1.5))
+    b.sphere((-2.2, 1, 0), 1.0, b.metal((0.7, 0.6, 0.5), 0.3))
+    b.sphere((2.2, 1, 0), 1.0, b.gloss((0.2, 0.5, 0.3), 0.8, 0.3))
+    light_q = b.quad((-1, 4, -1), (2, 0, 0), (0, 0, 2), b.diffuse_light((5, 5, 5)))
+    b.light(light_q)
+    b.set_background(b.solid((0.4, 0.5, 0.7)))
+    return b.build(), cam.perspective(w, 1.0, (0, 2, 9), (0, 1, 0), 1, 30.0, s, d)
+
+
 SCENES = {
     "three_material_ball": three_material_ball,
     "three_material_ball_with_defocus_blur": three_material_ball_with_defocus_blur,

