@@ -14,11 +14,25 @@ on this host = 4.14e5 camera rays/s (measured 2026-08-16, BASELINE.md). The
 reference has no backward pass at all, so the comparable number is forward.
 
 Timing: device->host fetches are forced before stopping the clock
-(block_until_ready returns early under the axon tunnel), and a warm-up run
-absorbs compilation.
+(block_until_ready returns early under the axon tunnel), every timing is a
+best-of-N (the tunnel's hiccups only ever ADD time), and spread fields
+(min/median) are reported so the driver can tell signal from tunnel noise
+(VERDICT r03 weak 2: a single inflated rep once produced a fake 4x slope).
+
+Roofline: analytic forward flops (BASELINE.md "Roofline"; XLA's
+cost_analysis counts scan bodies once and is unusable) and a bwd/fwd ratio
+MEASURED by spp-slope on this very run — NOT the round-2 hard-coded 2.18x,
+which predated the compact-residual replay backward (ops/replay.py) that
+DCEs the intersection sweep from the VJP (measured 1.21x, 2026-08-20,
+tools/profile_bench.py). Backward flops are taken as ratio x forward flops,
+i.e. the backward is assumed to run at no better than forward efficiency —
+under that assumption roofline_frac equals the forward's fraction of the
+VPU speed of light and cannot exceed 1 unless the forward model itself
+overcounts.
 """
 
 import json
+import statistics
 import time
 
 import jax
@@ -31,33 +45,14 @@ REF_CORNELL_RAYS_PER_S = 14_400_000 / 34.8  # reference C++ on 4-core host CPU
 
 # ---- speed-of-light model for one TPU v5e (v5 lite) chip ----
 # This workload is elementwise-dominated (slab/quadric tests, masked
-# selects, threefry RNG), so the honest compute ceiling is the VPU f32
+# selects, counter-hash RNG), so the honest compute ceiling is the VPU f32
 # rate, NOT the 197 TFLOP/s bf16 MXU peak — the geometry contractions have
-# contraction depth 3 and run precision=highest. XLA's compiled
-# cost_analysis() counts scan/while bodies once (measured 1.2e9 "flops"
-# for this ~1.7e11-flop render), so FLOPs here are ANALYTIC: a counted
-# per-path-segment cost model. Derivation, stage ablation, and the
-# measured top cost centers: BASELINE.md "Roofline" +
-# tools/profile_bench.py.
+# contraction depth 3 and run precision=highest. FLOPs are ANALYTIC: a
+# counted per-path-segment cost model (intersect ~1050, fast RNG ~150,
+# shade ~700, raygen amortized ~150). Derivation + slope-measured stage
+# shares: BASELINE.md "Roofline", tools/profile_bench.py.
 PEAK_VPU_FLOPS_S = 0.92e12   # ~4 VPUs x (8x128) x 2 flops x ~940 MHz
-SEG_FLOPS = 2100.0           # flops per (lane, bounce): intersect ~1050,
-                             # fast RNG ~150, shade ~700, raygen ~150
-
-
-def _roofline(n_segments, dt, bwd_over_fwd=2.18):
-    """Analytic roofline fields for a fwd+bwd run timed at ``dt``.
-
-    ``n_segments``: lane-bounce count of the forward scan; the remat
-    backward re-runs the forward and adds the VJP sweep (slope-measured
-    bwd/fwd = 2.18x, tools/profile_bench.py), so total flops are scaled
-    by (1 + bwd_over_fwd)."""
-    fl = n_segments * SEG_FLOPS * (1.0 + bwd_over_fwd)
-    return {
-        "analytic_flops": fl,
-        "achieved_tflops": round(fl / dt / 1e12, 3),
-        "roofline_frac": round(fl / dt / PEAK_VPU_FLOPS_S, 3),
-        "bound": "compute(vpu-f32)",
-    }
+SEG_FLOPS = 2100.0           # forward flops per (lane, bounce)
 
 
 def _sync(*arrays):
@@ -65,27 +60,66 @@ def _sync(*arrays):
         np.asarray(a)
 
 
+def _timed(fn, reps=3):
+    """(min, median) seconds over ``reps`` steady-state runs (fn must
+    force its outputs). Caller warms up compilation first."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts), statistics.median(ts)
+
+
 def main():
     # north-star workload: Cornell 512x512, 256 spp, depth 8, fwd+bwd
     scene, cam = catalog.cornell_box(width=512, spp=256, max_depth=8)
     target = jnp.zeros((cam.height, cam.width, 3))
 
-    loss, (gs, _gc) = diff.loss_and_grads(scene, cam, jax.random.key(0),
-                                          target, spp=256)
-    _sync(loss, gs["tex_color0"])  # warm-up: compile + run
-    t0 = time.time()
-    loss, (gs, _gc) = diff.loss_and_grads(scene, cam, jax.random.key(1),
-                                          target, spp=256)
-    _sync(loss, gs["tex_color0"])
-    dt = time.time() - t0
-    assert np.isfinite(float(loss))
-    headline = 512 * 512 * 256 / dt
+    def fb(spp, seed):
+        loss, (gs, _gc) = diff.loss_and_grads(scene, cam,
+                                              jax.random.key(seed),
+                                              target, spp=spp)
+        _sync(loss, gs["tex_color0"])
+        assert np.isfinite(float(loss))
 
-    # reference-matched forward workload for the baseline ratio. The axon
-    # tunnel adds a fixed ~35-120 ms per dispatch (BASELINE.md methodology
-    # caveat), which would swamp a single-shot ~0.3 s measurement — time at
-    # two spp values and take the slope, scaled to the reference's 40-spp
-    # work volume.
+    fb(256, 0)  # warm-up: compile + run
+    t_fb_hi, t_fb_hi_med = _timed(lambda: fb(256, 1))
+    headline = 512 * 512 * 256 / t_fb_hi
+    headline_med = 512 * 512 * 256 / t_fb_hi_med
+
+    # ---- measured bwd/fwd by spp slope on the SAME workload ----
+    # (slope cancels the tunnel's fixed ~35-120 ms per-dispatch term)
+    fb(128, 0)  # warm-up spp=128 compile
+    t_fb_lo, _ = _timed(lambda: fb(128, 1))
+    fb_slope = max(t_fb_hi - t_fb_lo, 1e-9) / (256 - 128)
+
+    def fwd(spp, seed):
+        img = integrator.render_image(scene, cam, jax.random.key(seed),
+                                      spp=spp)
+        _sync(img)
+
+    fwd(256, 0)
+    fwd(128, 0)
+    t_f_hi, _ = _timed(lambda: fwd(256, 1))
+    t_f_lo, _ = _timed(lambda: fwd(128, 1))
+    fwd_slope = max(t_f_hi - t_f_lo, 1e-9) / (256 - 128)
+    bwd_over_fwd = max(fb_slope / fwd_slope - 1.0, 0.0)
+
+    # roofline of the headline fwd+bwd step: analytic fwd flops, backward
+    # at the measured time ratio (assumed no better than fwd efficiency)
+    n_segments = 512 * 512 * 256 * cam.max_depth
+    fl = n_segments * SEG_FLOPS * (1.0 + bwd_over_fwd)
+    dt_slope = fb_slope * 256  # fixed-dispatch-free headline time
+    roof = {
+        "analytic_flops": fl,
+        "achieved_tflops": round(fl / dt_slope / 1e12, 3),
+        "roofline_frac": round(fl / dt_slope / PEAK_VPU_FLOPS_S, 3),
+        "bwd_over_fwd_measured": round(bwd_over_fwd, 2),
+        "bound": "compute(vpu-f32)",
+    }
+
+    # reference-matched forward workload for the baseline ratio, by slope
     scene_m, cam_m = catalog.cornell_box(width=600, spp=40, max_depth=4)
 
     def matched(spp, k):
@@ -96,30 +130,23 @@ def main():
 
     matched(40, jax.random.key(0))   # warm-up spp=40 compile
     matched(120, jax.random.key(0))  # warm-up spp=120 compile
-
-    def best_of(spp, reps=3):
-        # tunnel hiccups only ever ADD time; min over repeats rejects them
-        # (a single inflated t_lo once produced a fake 4x-too-good slope)
-        ts = []
-        for r in range(reps):
-            t0 = time.time()
-            matched(spp, jax.random.key(1 + r))
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    t_lo = best_of(40)
-    t_hi = best_of(120)
+    t_lo, t_lo_med = _timed(lambda: matched(40, jax.random.key(1)))
+    t_hi, t_hi_med = _timed(lambda: matched(120, jax.random.key(1)))
     per_sample = (t_hi - t_lo) / (120 - 40)
+    per_sample_med = (t_hi_med - t_lo_med) / (120 - 40)
     fwd_matched = 600 * 600 / per_sample
-
-    # roofline accounting of the headline fwd+bwd step (BASELINE.md §Roofline)
-    roof = _roofline(512 * 512 * 256 * cam.max_depth, dt)
+    fwd_matched_med = 600 * 600 / max(per_sample_med, 1e-12)
 
     print(json.dumps({
         "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",
         "value": round(headline),
         "unit": "rays/s",
         "vs_baseline": round(fwd_matched / REF_CORNELL_RAYS_PER_S, 2),
+        "spread": {
+            "headline_rays_per_s_median": round(headline_med),
+            "vs_baseline_median": round(
+                fwd_matched_med / REF_CORNELL_RAYS_PER_S, 2),
+        },
         **roof,
     }))
 

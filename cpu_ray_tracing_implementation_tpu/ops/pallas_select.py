@@ -17,7 +17,8 @@ excludes everything at or below its predecessor's last selected key
 list without the [R,K] matrix ever being carried between them.
 
 Forward-only (the per-ray accel wraps everything in a custom VJP whose
-backward is the XLA chunk scan). CPU tests run interpret=True.
+backward replays the forward's winning primitive in O(R) —
+ops/replay.py, since b343828). CPU tests run interpret=True.
 """
 
 from __future__ import annotations

@@ -105,6 +105,61 @@ def _use_pallas_select(tmin) -> bool:
     return pk.use_pallas() and not isinstance(tmin, jax.core.Tracer)
 
 
+def _use_pallas_sweep() -> bool:
+    """Pallas DMA-gather sweep (ops/pallas_sweep.py) — OPT-IN
+    (CRT_PALLAS_SWEEP=1), measured SLOWER than the XLA row-gather sweep
+    it was built to replace (2026-08-20, one v5e chip): per-ray row DMAs
+    are scalar-issue-bound at ~13 M starts/s = ~72 GB/s effective even
+    with 16-way semaphore striping (tools/dma_gather_probe.py), while
+    XLA's batched gather does 75-88 GB/s on the same [R,V] row pattern —
+    and the kernel boundary also costs the select/sweep fusion (colonnade
+    200px spp4: 4.0 s vs 1.15 s). Kept as the measured experiment; the
+    write-up lives in BASELINE.md (negative results section)."""
+    import os
+
+    return os.environ.get("CRT_PALLAS_SWEEP", "0") == "1"
+
+
+def _planar_sweep_pallas(org, dirs, table_k, K, C, tmin, triangle):
+    """Pallas-kernel sweep_fn for the phase loop: packs the best tuple as
+    [R,8], pads rays to the kernel block, unpacks after."""
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_sweep as psw
+
+    rays, _ = psw.pad_to_block(psw.pack_rays(org, dirs))
+    R = org.shape[0]
+    table3 = table_k.reshape(K, 11, C)
+
+    def sweep_fn(ids, nears, best):
+        V = ids.shape[1]
+        ids_p, _ = psw.pad_to_block(jnp.clip(ids, 0, K - 1))
+        nears_p, _ = psw.pad_to_block(nears, fill=INF)
+        pk, _ = psw.pad_to_block(psw.pack_best_planar(best))
+        out = psw.sweep(rays, ids_p, nears_p, pk, table3, V, C,
+                        float(tmin), triangle, False)
+        return psw.unpack_best_planar(out[:R])
+
+    return sweep_fn
+
+
+def _sphere_sweep_pallas(org, dirs, time, table_k, K, C, tmin):
+    from cpu_ray_tracing_implementation_tpu.ops import pallas_sweep as psw
+
+    rays, _ = psw.pad_to_block(psw.pack_rays(org, dirs, time))
+    R = org.shape[0]
+    table3 = table_k.reshape(K, 9, C)
+
+    def sweep_fn(ids, nears, best):
+        V = ids.shape[1]
+        ids_p, _ = psw.pad_to_block(jnp.clip(ids, 0, K - 1))
+        nears_p, _ = psw.pad_to_block(nears, fill=INF)
+        pk, _ = psw.pad_to_block(psw.pack_best_sphere(best))
+        out = psw.sweep(rays, ids_p, nears_p, pk, table3, V, C,
+                        float(tmin), False, True)
+        return psw.unpack_best_sphere(out[:R])
+
+    return sweep_fn
+
+
 def _pallas_phase_loop(org, dirs, cap, lo, hi, tmin, V, sweep_fn, best0):
     """Exactness phase loop with the fused kernel: phases carry only the
     (threshold, last id) exclusion key — the [R,K] near matrix never
@@ -266,6 +321,9 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
         triangle, best)
 
     if _use_pallas_select(tmin):
+        if _use_pallas_sweep():
+            sweep = _planar_sweep_pallas(org, dirs, table, K, C, tmin,
+                                         triangle)
         t, n, u, v, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
         return jnp.where(t < t_init, t, INF), (n, u, v, m, p)
@@ -377,6 +435,8 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
         best)
 
     if _use_pallas_select(tmin):
+        if _use_pallas_sweep():
+            sweep = _sphere_sweep_pallas(org, dirs, time, table, K, C, tmin)
         t, ctr, rad, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
         return jnp.where(t < t_init, t, INF), (ctr, rad, m, p)

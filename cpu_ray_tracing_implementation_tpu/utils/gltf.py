@@ -52,6 +52,7 @@ class Primitive:
     indices: np.ndarray             # [I] int32 (triangle list)
     normals: np.ndarray | None = None   # [V,3]
     uvs: np.ndarray | None = None       # [V,2]
+    tangents: np.ndarray | None = None  # [V,4] xyz world-space + w handedness
     material: int = -1
 
     @property
@@ -301,12 +302,27 @@ class GltfLoader:
                 t = self._read_accessor(attrs["TEXCOORD_0"])
                 if t is not None:
                     uvs = t.astype(np.float32)
+            tangents = None
+            if "TANGENT" in attrs:
+                # [V,4]: xyz tangent + w bitangent handedness. The reference
+                # parses TANGENT and then drops it (src/gltf_loader.h:174,
+                # 349,770); kept here for normal-mapping consumers. Tangents
+                # are surface directions: transform by the LINEAR part (not
+                # the normals' inverse-transpose), renormalize, keep w.
+                tg = self._read_accessor(attrs["TANGENT"])
+                if tg is not None and tg.ndim == 2 and tg.shape[1] == 4:
+                    txyz = tg[:, :3].astype(np.float64) @ world[:3, :3].T
+                    txyz /= np.linalg.norm(txyz, axis=-1, keepdims=True) + 1e-20
+                    tangents = np.concatenate(
+                        [txyz, tg[:, 3:4].astype(np.float64)],
+                        axis=1).astype(np.float32)
 
             self.primitives.append(Primitive(
                 positions=pos_w.astype(np.float32),
                 indices=idx,
                 normals=normals,
                 uvs=uvs,
+                tangents=tangents,
                 material=prim.get("material", -1),
             ))
 

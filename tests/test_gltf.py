@@ -103,3 +103,46 @@ def test_all_meshes_survive(tmp_path):
 def test_missing_file_degrades_to_empty():
     tris = gltf.load_triangles("/nonexistent/thing.gltf")
     assert tris.shape == (0, 3, 3)
+
+
+def test_tangent_attribute_loaded_and_rotated(tmp_path):
+    """TANGENT [V,4] survives loading (the reference parses it then drops
+    it, src/gltf_loader.h:174,349,770): xyz rotates with the node's linear
+    part, w handedness passes through."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    tan = np.array([[1, 0, 0, 1], [1, 0, 0, 1], [1, 0, 0, -1]], np.float32)
+    blob = pos.tobytes() + idx.tobytes() + b"\0\0" + tan.tobytes()
+    s = np.sin(np.pi / 4)
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0,
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0, "rotation": [0, 0, float(s), float(np.cos(np.pi / 4))]}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "TANGENT": 2}, "indices": 1}]}],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            {"bufferView": 2, "componentType": 5126, "count": 3, "type": "VEC4"},
+        ],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+            {"buffer": 0, "byteOffset": 36, "byteLength": 6},
+            {"buffer": 0, "byteOffset": 44, "byteLength": 48},
+        ],
+        "buffers": [{
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(blob).decode(),
+            "byteLength": len(blob),
+        }],
+    }
+    p = os.path.join(str(tmp_path), "tan.gltf")
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    asset = gltf.load_asset(p)
+    (prim,) = asset.primitives
+    assert prim.tangents is not None and prim.tangents.shape == (3, 4)
+    # 90-degree z rotation: tangent (1,0,0) -> (0,1,0); w untouched
+    np.testing.assert_allclose(prim.tangents[0], [0, 1, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(prim.tangents[2, 3], -1, atol=0)

@@ -46,13 +46,18 @@ nslot = mat_ops.NSLOT + scene.n_volumes
 depth = cam.max_depth
 
 
-def timed(fn, *args):
+def timed(fn, *args, reps=3):
+    """Best-of-``reps`` steady-state timing: tunnel hiccups only ever ADD
+    time, so min over repeats rejects them (BASELINE.md methodology)."""
     out = fn(*args)
     jax.tree.map(np.asarray, out)
-    t0 = time.time()
-    out = fn(*args)
-    jax.tree.map(np.asarray, out)
-    return time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        jax.tree.map(np.asarray, out)
+        ts.append(time.time() - t0)
+    return min(ts)
 
 
 def spp_scan(per_sample, spp):
@@ -121,7 +126,8 @@ for name, per_sample in [("raygen+film", stage_raygen),
                          (" + shade (full fwd)", stage_fwd)]:
     per, fixed = slope(lambda spp, f=per_sample: spp_scan(f, spp))
     rows.append((name, per))
-    print(f"{name:22s}: {per*1e3:7.3f} ms/sample  ({n_pix/per/1e6:6.1f} M "
+    mrays = n_pix / per / 1e6 if per > 0 else float("inf")
+    print(f"{name:22s}: {per*1e3:7.3f} ms/sample  ({mrays:6.1f} M "
           f"rays/s)  [+{fixed*1e3:.0f} ms fixed dispatch]", flush=True)
 
 per_fb, fixed_fb = slope(
