@@ -64,13 +64,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Russian-roulette path termination from bounce N "
                         "(unbiased; frees deep-path lanes — the wavefront "
                         "integrator refills them)")
-    p.add_argument("--wavefront", action="store_true",
+    p.add_argument("--wavefront", choices=("auto", "on", "off"),
+                   nargs="?", const="on", default="auto",
                    help="path-regeneration wavefront integrator: lanes "
                         "refill from the (pixel, sample) queue the moment "
                         "a path dies, so work = actual path segments "
                         "instead of pixels*spp*max_depth (forward-only; "
                         "per-path radiance bitwise-equal to the classic "
-                        "scan, image allclose)")
+                        "scan, image allclose). Default 'auto' uses it for "
+                        "chunked/accelerated scenes, where traversal "
+                        "dominates and dead lanes are expensive (measured "
+                        "v5e: colonnade 1.29x, sphereflake 1.46x faster; "
+                        "dense Cornell-d8 0.18x SLOWER — refill bookkeeping "
+                        "swamps the cheap dense intersect, so dense scenes "
+                        "keep the unrolled scan)")
     p.add_argument("--clamp", type=float, default=None, metavar="C",
                    help="firefly clamp: per-sample radiance min'd against C "
                         "per channel (variance/bias trade; off by default)")
@@ -100,6 +107,22 @@ CONFIG_KEYS = ("scene", "output", "width", "spp", "max_depth", "seed",
                "format", "sharded", "checkpoint", "chunk_spp", "stratify",
                "denoise", "aovs", "adaptive", "clamp", "qmc", "tonemap",
                "tile_pixels", "rr_depth", "nee", "wavefront")
+
+
+def use_wavefront(mode: str, scene) -> bool:
+    """Forward-render integrator routing. 'auto' (the default) picks the
+    path-regeneration wavefront for chunked/accelerated scenes — measured
+    on one v5e chip (2026-08-20): colonnade 1.29x, sphereflake 1.46x
+    faster at identical images — and the unrolled classic scan for dense
+    tables, where the wavefront is 5x SLOWER (Cornell 512px d8: 1.83 s vs
+    0.34 s; refill bookkeeping + an un-unrollable while_loop swamp the
+    cheap [R,18] intersect). Numbers: BASELINE.md round-4 section."""
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return (scene.tri_chunks is not None or scene.sphere_chunks is not None
+            or scene.quad_chunks is not None)
 
 
 def main(argv=None) -> int:
@@ -200,7 +223,7 @@ def main(argv=None) -> int:
             print(f"Adaptive spp: mean {spp_map.mean():.1f}, "
                   f"min {spp_map.min()}, max {spp_map.max()} "
                   f"(budget {cam.spp})")
-        elif args.wavefront:
+        elif use_wavefront(args.wavefront, scene):
             img = integrator.render_image_wavefront(scene, cam, key)
         elif args.tile_pixels:
             img = integrator.render_image_tiled(scene, cam, key,

@@ -67,3 +67,21 @@ def test_wavefront_flag_end_to_end(tmp_path):
     a = np.asarray(Image.open(out_w), np.int16)
     b = np.asarray(Image.open(out_c), np.int16)
     assert np.abs(a - b).max() <= 1  # 8-bit rounding only
+
+
+def test_wavefront_auto_routing():
+    """'auto' (default) -> wavefront iff the scene is chunked/accelerated
+    (measured routing, render.use_wavefront docstring); on/off override."""
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+
+    dense, _ = catalog.cornell_box(width=8, spp=1)
+    chunked, _ = catalog.sphereflake(width=8, spp=1)
+    assert dense.tri_chunks is None and dense.sphere_chunks is None
+    assert not render_mod.use_wavefront("auto", dense)
+    assert render_mod.use_wavefront("auto", chunked)
+    assert render_mod.use_wavefront("on", dense)
+    assert not render_mod.use_wavefront("off", chunked)
+    # bare --wavefront keeps its pre-round-4 meaning (force on)
+    args = render_mod.build_parser().parse_args(["s", "--wavefront"])
+    assert args.wavefront == "on"
+    assert render_mod.build_parser().parse_args(["s"]).wavefront == "auto"
