@@ -40,8 +40,13 @@ def _ray_block(K: int) -> int:
     return max(8, min(512, rb // 8 * 8))
 
 
+def _id_bits(K: int) -> int:
+    """Low key bits holding the chunk id (packed mode)."""
+    return max(11, (K - 1).bit_length())
+
+
 def _kernel(rays_ref, boxes_ref, excl_ref, ids_ref, nears_ref, rest_ref,
-            *, V: int, K: int, K_real: int, tmin: float):
+            *, V: int, K: int, K_real: int, tmin: float, packed: bool):
     RB = rays_ref.shape[0]
     col = jax.lax.broadcasted_iota(jnp.int32, (RB, K), 1)
 
@@ -61,9 +66,54 @@ def _kernel(rays_ref, boxes_ref, excl_ref, ids_ref, nears_ref, rest_ref,
     ok = (near <= far) & (far >= tmin) & (near <= cap) & (col < K_real)
     nearm = jnp.where(ok, jnp.maximum(near, tmin), INF)
 
-    # exclude keys at or below the previous phase's last selected (thr, id)
     thr = excl_ref[:, 0:1]
     lid = excl_ref[:, 1:2].astype(jnp.int32)
+
+    if packed:
+        # ---- packed-key selection: one int32 key = (near bits | id) ----
+        # nearm >= tmin > 0, so its f32 bit pattern orders as a POSITIVE
+        # int32; stealing the low IDB mantissa bits for the chunk id makes
+        # (coarsened near, id) one total order — each selection round is
+        # min + mask (3 vector ops/element) instead of the exact path's 6,
+        # and the phase exclusion is a single compare. The near the caller
+        # gets back is rounded DOWN by the stolen bits (rel 2^-(23-IDB)),
+        # which is CONSERVATIVE everywhere it is used: the sweep's
+        # can-this-slot-improve masks and the phase loop's rest-vs-best
+        # test only ever do MORE work for a smaller near, never less, and
+        # the final (t, pid) is decided by exact geometry in the sweep —
+        # the phase-loop result is bit-identical to the exact mode's
+        # (tests/test_pallas_select.py), only the visit ORDER of chunks
+        # whose nears coarsen equal can differ (id tie-break, still a
+        # deterministic total order).
+        IDB = _id_bits(K)
+        HMASK = jnp.int32(-(1 << IDB))           # high (near) bits
+        MASKV = jnp.int32(0x7FFFFFFF)            # > every real key
+        key = (jax.lax.bitcast_convert_type(nearm, jnp.int32) & HMASK) | col
+
+        # previous phase's last selected key; thr < 0 = phase 1 (exclude
+        # nothing: every real key is > 0 because near >= tmin > 0); NaN
+        # thr = the ray's list was exhausted in an earlier phase (its
+        # last slots were MASKV selections) -> exclude EVERYTHING, or the
+        # phase loop would re-select visited chunks forever
+        thr_bits = (jax.lax.bitcast_convert_type(
+            jnp.maximum(thr, 0.0), jnp.int32) & HMASK) | jnp.maximum(lid, 0)
+        excl_key = jnp.where(thr >= 0.0, thr_bits,
+                             jnp.where(jnp.isnan(thr), MASKV, jnp.int32(0)))
+        key = jnp.where(key <= excl_key, MASKV, key)
+
+        for v in range(V):
+            m = jnp.min(key, axis=1, keepdims=True)             # [RB,1]
+            ids_ref[:, v:v + 1] = m & ~HMASK
+            nears_ref[:, v:v + 1] = jax.lax.bitcast_convert_type(
+                m & HMASK, jnp.float32)
+            key = jnp.where(key == m, MASKV, key)
+
+        rest_ref[:, 0:1] = jax.lax.bitcast_convert_type(
+            jnp.min(key, axis=1, keepdims=True) & HMASK, jnp.float32)
+        return
+
+    # ---- exact (near, id) lexicographic selection ----
+    # exclude keys at or below the previous phase's last selected (thr, id)
     visited = (nearm < thr) | ((nearm == thr) & (col <= lid))
     nearm = jnp.where(visited, INF, nearm)
 
@@ -82,15 +132,21 @@ def _kernel(rays_ref, boxes_ref, excl_ref, ids_ref, nears_ref, rest_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("V", "K_real", "tmin", "interpret"))
+                   static_argnames=("V", "K_real", "tmin", "interpret",
+                                    "packed"))
 def cull_select(rays, boxes, excl, V: int, K_real: int, tmin: float,
-                interpret: bool = False):
+                interpret: bool = False, packed: bool = True):
     """(ids [R,V] int32, nears [R,V] f32 ascending, rest [R] f32).
 
     ``rays``: [R, 8] (ox oy oz dx dy dz cap pad), R a multiple of the ray
     block; ``boxes``: [8, K] (lox loy loz hix hiy hiz **): K a multiple of
     128, padded chunks with an inverted box (+BIG/-BIG); ``excl``: [R, 2]
     (near threshold f32, last id as f32) — pass (-BIG, -1) for phase 1.
+
+    ``packed`` (default): packed-key selection rounds — nears come back
+    rounded DOWN by the id bits (rel 2^-(23-IDB), conservative; NaN
+    instead of +inf for exhausted slots), ids/phase partition unchanged.
+    ``packed=False`` is the exact (near, id) reference path.
     """
     R = rays.shape[0]
     K = boxes.shape[1]
@@ -99,7 +155,8 @@ def cull_select(rays, boxes, excl, V: int, K_real: int, tmin: float,
     if jax.default_backend() != "tpu":
         interpret = True  # CPU tests run the interpreter
     grid = (R // RB,)
-    kern = functools.partial(_kernel, V=V, K=K, K_real=K_real, tmin=tmin)
+    kern = functools.partial(_kernel, V=V, K=K, K_real=K_real, tmin=tmin,
+                             packed=packed)
     return pl.pallas_call(
         kern,
         grid=grid,

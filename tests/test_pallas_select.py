@@ -48,7 +48,8 @@ def test_kernel_matches_xla_select(tri_scene):
     rays, Rp = ps.pad_rays(ps.pack_rays(org, dirs, cap), boxes.shape[1])
     excl = jnp.concatenate([jnp.full((Rp, 1), -1e30, jnp.float32),
                             jnp.full((Rp, 1), -1.0, jnp.float32)], axis=1)
-    ids_p, nears_p, rest_p = ps.cull_select(rays, boxes, excl, V, K, 1e-3)
+    ids_p, nears_p, rest_p = ps.cull_select(rays, boxes, excl, V, K, 1e-3,
+                                            packed=False)
     ids_p, nears_p, rest_p = ids_p[:200], nears_p[:200], rest_p[:200, 0]
 
     fin = np.isfinite(np.asarray(nears_x))
@@ -83,10 +84,12 @@ def test_kernel_phases_partition_the_visit_order(tri_scene):
     rays, Rp = ps.pad_rays(ps.pack_rays(org, dirs, cap), boxes.shape[1])
     excl = jnp.concatenate([jnp.full((Rp, 1), -1e30, jnp.float32),
                             jnp.full((Rp, 1), -1.0, jnp.float32)], axis=1)
-    ids_1, nears_1, _ = ps.cull_select(rays, boxes, excl, V, K, 1e-3)
+    ids_1, nears_1, _ = ps.cull_select(rays, boxes, excl, V, K, 1e-3,
+                                       packed=False)
     excl2 = jnp.stack([nears_1[:, V - 1],
                        ids_1[:, V - 1].astype(jnp.float32)], axis=1)
-    ids_2, nears_2, _ = ps.cull_select(rays, boxes, excl2, V, K, 1e-3)
+    ids_2, nears_2, _ = ps.cull_select(rays, boxes, excl2, V, K, 1e-3,
+                                       packed=False)
 
     fin = np.isfinite(np.asarray(nears_b))
     np.testing.assert_array_equal(
@@ -116,3 +119,64 @@ def test_perray_with_pallas_loop_matches_oracle(tri_scene, monkeypatch):
                                rtol=1e-4)
     np.testing.assert_array_equal(np.asarray(p_r)[hit_r],
                                   np.asarray(p_c)[hit_c])
+
+
+def test_packed_keys_conservative_and_same_ids(tri_scene):
+    """Packed-key mode (the default): per-ray selected-id SETS equal the
+    exact mode's, nears rounded DOWN by at most the stolen id bits."""
+    chunks = tri_scene.tri_chunks
+    K = chunks.lo.shape[0]
+    rng = np.random.default_rng(9)
+    org, dirs = _rand_rays(rng, 128)
+    cap = jnp.full((128,), 50.0)
+    V = min(8, K)
+
+    boxes = ps.pack_boxes(chunks.lo, chunks.hi)
+    rays, Rp = ps.pad_rays(ps.pack_rays(org, dirs, cap), boxes.shape[1])
+    excl = jnp.concatenate([jnp.full((Rp, 1), -1e30, jnp.float32),
+                            jnp.full((Rp, 1), -1.0, jnp.float32)], axis=1)
+    ids_e, nears_e, _ = ps.cull_select(rays, boxes, excl, V, K, 1e-3,
+                                       packed=False)
+    ids_p, nears_p, _ = ps.cull_select(rays, boxes, excl, V, K, 1e-3,
+                                       packed=True)
+    ne = np.asarray(nears_e[:128])
+    npk = np.asarray(nears_p[:128])
+    fin = np.isfinite(ne)
+    # NaN replaces inf for exhausted slots in packed mode; finite slots
+    # must match as sets of ids with conservatively-rounded nears
+    assert not np.isfinite(npk[~fin]).any()
+    rel = 2.0 ** -(23 - ps._id_bits(boxes.shape[1]))
+    assert (npk[fin] <= ne[fin] + 1e-12).all()
+    assert (npk[fin] >= ne[fin] * (1 - 2 * rel) - 1e-12).all()
+    for r in range(128):
+        a = set(np.asarray(ids_e[r])[fin[r]].tolist())
+        b = set(np.asarray(ids_p[r])[fin[r]].tolist())
+        assert a == b, (r, a, b)
+
+
+def test_packed_phase_loop_matches_exact_end_to_end(tri_scene, monkeypatch):
+    """Full per-ray accel through packed-key phases == exact-mode phases
+    (bit-identical winners: coarsening only reorders tie visits)."""
+    import functools as ft
+
+    monkeypatch.setattr(perray, "_use_pallas_select", lambda tmin: True)
+    monkeypatch.setenv("CRT_RAYV", "4")
+    rng = np.random.default_rng(10)
+    org, dirs = _rand_rays(rng, 256)
+
+    orig = ps.cull_select
+
+    def run(packed):
+        monkeypatch.setattr(
+            ps, "cull_select",
+            ft.partial(orig, packed=packed) if packed is not None else orig)
+        return perray.planar_closest_perray(
+            org, dirs, tri_scene.tri_chunks, 1e-3, True)
+
+    t_e, (_, _, _, _, p_e) = run(False)
+    t_p, (_, _, _, _, p_p) = run(True)
+    hit = np.isfinite(np.asarray(t_e))
+    np.testing.assert_array_equal(hit, np.isfinite(np.asarray(t_p)))
+    assert hit.sum() > 20
+    np.testing.assert_array_equal(np.asarray(t_p)[hit], np.asarray(t_e)[hit])
+    np.testing.assert_array_equal(np.asarray(p_p)[hit], np.asarray(p_e)[hit])
