@@ -76,10 +76,16 @@ def main():
     scene, cam = catalog.cornell_box(width=512, spp=256, max_depth=8)
     target = jnp.zeros((cam.height, cam.width, 3))
 
-    def fb(spp, seed):
+    # geometry=False: the headline differentiates the BASELINE.json
+    # contract set (albedo/emission/material params — this file's
+    # docstring). Round 4 added geometry gradients (geo_* families,
+    # models/diff.py) which cost ~20% more backward; that step is timed
+    # separately below so neither number hides the other.
+    def fb(spp, seed, geometry=False):
         loss, (gs, _gc) = diff.loss_and_grads(scene, cam,
                                               jax.random.key(seed),
-                                              target, spp=spp)
+                                              target, spp=spp,
+                                              geometry=geometry)
         _sync(loss, gs["tex_color0"])
         assert np.isfinite(float(loss))
 
@@ -87,6 +93,10 @@ def main():
     t_fb_hi, t_fb_hi_med = _timed(lambda: fb(256, 1))
     headline = 512 * 512 * 256 / t_fb_hi
     headline_med = 512 * 512 * 256 / t_fb_hi_med
+
+    fb(256, 0, geometry=True)  # warm-up the full-param step
+    t_geo, _ = _timed(lambda: fb(256, 1, geometry=True))
+    geo_rays = 512 * 512 * 256 / t_geo
 
     # ---- measured bwd/fwd by spp slope on the SAME workload ----
     # (slope cancels the tunnel's fixed ~35-120 ms per-dispatch term)
@@ -147,6 +157,7 @@ def main():
             "vs_baseline_median": round(
                 fwd_matched_med / REF_CORNELL_RAYS_PER_S, 2),
         },
+        "with_geometry_grads_rays_per_s": round(geo_rays),
         **roof,
     }))
 

@@ -51,8 +51,14 @@ NONNEG_PARAMS = frozenset({
 })
 
 
-def scene_params(scene) -> dict:
+def scene_params(scene, geometry: bool = True) -> dict:
     """The differentiable leaves of a scene, as a flat dict pytree.
+
+    ``geometry=False`` exposes only the texture/material families — the
+    BASELINE.json headline contract set. Geometry gradients cost ~20%
+    of the fwd+bwd step (measured on the bench workload, 2026-08-20:
+    19.6 vs 15.7 M rays/s), so callers fitting only appearance should
+    not pay for them.
 
     ``mat_dispersion`` appears only when Scene.has_dispersion is set: that
     flag is STATIC, so on a scene built without dispersion the table never
@@ -84,6 +90,8 @@ def scene_params(scene) -> dict:
     }
     if scene.has_dispersion:
         p["mat_dispersion"] = scene.materials.dispersion
+    if not geometry:
+        return p
     n_sph, n_quad, n_tri, _ = scene.counts
     if n_sph and scene.sphere_chunks is None:
         p["geo_sph_c0"] = scene.spheres.c0
@@ -159,10 +167,15 @@ def image_loss(scene, camera, key, target, spp: int, replay: bool = None):
     return jnp.mean((img - target) ** 2)
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "unroll", "replay"))
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "unroll", "replay", "geometry"))
 def loss_and_grads(scene, camera, key, target, spp: int,
-                   unroll: tuple = None, replay: bool = None):
+                   unroll: tuple = None, replay: bool = None,
+                   geometry: bool = True):
     """(loss, (scene_param_grads, camera_param_grads)).
+
+    ``geometry`` (STATIC): include the geo_* families (scene_params
+    docstring) — False differentiates only texture/material/camera.
 
     ``unroll``: (bounce, spp) scan unroll for the differentiated render —
     defaults to the forward-tuned factors (integrator UNROLL note). The
@@ -186,7 +199,7 @@ def loss_and_grads(scene, camera, key, target, spp: int,
         return jnp.mean((img - target) ** 2)
 
     return jax.value_and_grad(f, argnums=(0, 1))(
-        scene_params(scene), camera_params(camera))
+        scene_params(scene, geometry=geometry), camera_params(camera))
 
 
 def _fit_fingerprint(params, lr, spp, seed, optimizer) -> str:

@@ -100,8 +100,6 @@ def _planar_slot(rays_ref, row, C, tmin, t_best, triangle):
     cx, cy, cz = c(0), c(1), c(2)
     eux, euy, euz = c(3), c(4), c(5)
     evx, evy, evz = c(6), c(7), c(8)
-    matf = c(9)
-    active = c(10) > 0.5
 
     nx = euy * evz - euz * evy
     ny = euz * evx - eux * evz
@@ -136,8 +134,10 @@ def _planar_slot(rays_ref, row, C, tmin, t_best, triangle):
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
         interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    ok = ok0 & (t >= tmin) & (t <= t_best) & interior & active
-    return jnp.where(ok, t, INF), a, b, (unx, uny, unz), matf
+    # inactive lanes carry eu=ev=0 -> d_n == 0 -> ok0 false (the 9-comp
+    # table bakes the active flag in, ops/perray._planar_table)
+    ok = ok0 & (t >= tmin) & (t <= t_best) & interior
+    return jnp.where(ok, t, INF), a, b, (unx, uny, unz)
 
 
 def _sphere_slot(rays_ref, row, C, tmin, t_best):
@@ -147,8 +147,6 @@ def _sphere_slot(rays_ref, row, C, tmin, t_best):
     c0x, c0y, c0z = c(0), c(1), c(2)
     c1x, c1y, c1z = c(3), c(4), c(5)
     rad = c(6)
-    matf = c(7)
-    active = c(8) > 0.5
     tt = rays_ref[:, 6:7]
     ctx = c0x + tt * (c1x - c0x)
     cty = c0y + tt * (c1y - c0y)
@@ -170,7 +168,8 @@ def _sphere_slot(rays_ref, row, C, tmin, t_best):
     in0 = (t0 >= tmin) & (t0 <= t_best)
     in1 = (t1 >= tmin) & (t1 <= t_best)
     t = jnp.where(in0, t0, jnp.where(in1, t1, INF))
-    return jnp.where(has & active, t, INF), (ctx, cty, ctz), rad, matf
+    # inactive lanes carry rad=0 -> disc <= 0 (Cauchy-Schwarz) -> no hit
+    return jnp.where(has, t, INF), (ctx, cty, ctz), rad
 
 
 def _kernel(rays_ref, ids_vref, nears_ref, best_ref, table_ref, out_ref,
@@ -199,10 +198,10 @@ def _kernel(rays_ref, ids_vref, nears_ref, best_ref, table_ref, out_ref,
         row = buf[par]
         ns = nears_ref[:, s:s + 1]
         if sphere:
-            ts, (ctx, cty, ctz), rad, matf = _sphere_slot(
+            ts, (ctx, cty, ctz), rad = _sphere_slot(
                 rays_ref, row, C, tmin, t_b)
         else:
-            ts, a, b, (unx, uny, unz), matf = _planar_slot(
+            ts, a, b, (unx, uny, unz) = _planar_slot(
                 rays_ref, row, C, tmin, t_b, triangle)
         t_c = jnp.min(ts, axis=1, keepdims=True)
         idx = _first_min_idx(ts, t_c, C)
@@ -220,14 +219,14 @@ def _kernel(rays_ref, ids_vref, nears_ref, best_ref, table_ref, out_ref,
             nx_c, ny_c, nz_c = _sel(unx, idx), _sel(uny, idx), _sel(unz, idx)
             u_c = _sel(a, idx)
             v_c = _sel(b, idx)
-        m_c = _sel(matf, idx)
+        # mat column rides untouched: recovered per winner after the
+        # phase loop (ops/perray._recover_mat)
         t_b = jnp.where(better, t_c, t_b)
         nx_b = jnp.where(better, nx_c, nx_b)
         ny_b = jnp.where(better, ny_c, ny_b)
         nz_b = jnp.where(better, nz_c, nz_b)
         u_b = jnp.where(better, u_c, u_b)
         v_b = jnp.where(better, v_c, v_b)
-        m_b = jnp.where(better, m_c, m_b)
         p_b = jnp.where(better, pid_c, p_b)
 
     out_ref[:, 0:1] = t_b

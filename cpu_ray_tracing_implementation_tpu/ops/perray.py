@@ -127,7 +127,7 @@ def _planar_sweep_pallas(org, dirs, table_k, K, C, tmin, triangle):
 
     rays, _ = psw.pad_to_block(psw.pack_rays(org, dirs))
     R = org.shape[0]
-    table3 = table_k.reshape(K, 11, C)
+    table3 = table_k.reshape(K, 9, C)
 
     def sweep_fn(ids, nears, best):
         V = ids.shape[1]
@@ -146,7 +146,7 @@ def _sphere_sweep_pallas(org, dirs, time, table_k, K, C, tmin):
 
     rays, _ = psw.pad_to_block(psw.pack_rays(org, dirs, time))
     R = org.shape[0]
-    table3 = table_k.reshape(K, 9, C)
+    table3 = table_k.reshape(K, 7, C)
 
     def sweep_fn(ids, nears, best):
         V = ids.shape[1]
@@ -216,14 +216,30 @@ def _cross3(ax, ay, az, bx, by, bz):
 
 
 def _planar_table(chunks: ch.PlanarChunks):
-    """[K, 11*C] fused rows: corner/eu/ev components, mat, active."""
-    K, C = chunks.corner.shape[0], chunks.corner.shape[1]
-    f32 = chunks.corner.dtype
+    """[K, 9*C] fused rows: corner/eu/ev components ONLY — the t-test's
+    working set. ``active`` is baked in (inactive lanes get eu=ev=0, which
+    kills the plane test intrinsically: d_n == 0 -> ok0 false), and mat is
+    NOT fetched per visit — the winner's chunk mat row is gathered once
+    after the phase loop (_recover_mat). 11 -> 9 comps = 18% fewer sweep
+    bytes on the bandwidth-bound row gather (BASELINE.md round-4)."""
+    act = chunks.active[..., None].astype(bool)
+    eu = jnp.where(act, chunks.eu, 0.0)
+    ev = jnp.where(act, chunks.ev, 0.0)
     comps = [chunks.corner[..., a] for a in range(3)]
-    comps += [chunks.eu[..., a] for a in range(3)]
-    comps += [chunks.ev[..., a] for a in range(3)]
-    comps += [chunks.mat.astype(f32), chunks.active.astype(f32)]
+    comps += [eu[..., a] for a in range(3)]
+    comps += [ev[..., a] for a in range(3)]
     return jnp.concatenate(comps, axis=1)
+
+
+def _recover_mat(chunk_mat, pid):
+    """[R] mat of chunk-order primitive ``pid`` — one row gather + one-hot
+    lane select (take_along_axis serializes on TPU; this is the same
+    row-gather shape the sweep uses)."""
+    C = chunk_mat.shape[1]
+    rows = chunk_mat[pid // C]                       # [R, C]
+    return jnp.round(jnp.sum(
+        tbl.onehot(pid % C, C) * rows.astype(jnp.float32),
+        axis=-1)).astype(jnp.int32)
 
 
 def _planar_row_ts(org, dirs, row, C, tmin, t_best, triangle):
@@ -233,8 +249,6 @@ def _planar_row_ts(org, dirs, row, C, tmin, t_best, triangle):
     cx, cy, cz = (_comp(row, i, C) for i in range(3))
     eux, euy, euz = (_comp(row, i, C) for i in range(3, 6))
     evx, evy, evz = (_comp(row, i, C) for i in range(6, 9))
-    matf = _comp(row, 9, C)
-    active = _comp(row, 10, C) > 0.5
 
     nx, ny, nz = _cross3(eux, euy, euz, evx, evy, evz)
     nn = nx * nx + ny * ny + nz * nz
@@ -259,8 +273,10 @@ def _planar_row_ts(org, dirs, row, C, tmin, t_best, triangle):
         interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
     else:
         interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
-    ok = ok0 & (t >= tmin) & (t <= t_best[:, None]) & interior & active
-    return jnp.where(ok, t, INF), a, b, (unx, uny, unz), matf
+    # no `active` term: inactive lanes carry eu=ev=0 -> d_n == 0 -> ok0
+    # already false (the table bakes the flag in, _planar_table)
+    ok = ok0 & (t >= tmin) & (t <= t_best[:, None]) & interior
+    return jnp.where(ok, t, INF), a, b, (unx, uny, unz)
 
 
 def _planar_sweep(org, dirs, table, C, ids, nears, tmin, triangle, best):
@@ -277,8 +293,8 @@ def _planar_sweep(org, dirs, table, C, ids, nears, tmin, triangle, best):
     def body(state):
         s, t_best, n_b, u_b, v_b, m_b, p_b = state
         ids_s = jax.lax.dynamic_slice_in_dim(ids, s, 1, axis=1)[:, 0]
-        row = table[ids_s]                                   # [R, 11C]
-        ts, a, b, (unx, uny, unz), matf = _planar_row_ts(
+        row = table[ids_s]                                   # [R, 9C]
+        ts, a, b, (unx, uny, unz) = _planar_row_ts(
             org, dirs, row, C, tmin, t_best, triangle)
         t_c = jnp.min(ts, axis=-1)
         idx = jnp.argmin(ts, axis=-1)
@@ -286,13 +302,14 @@ def _planar_sweep(org, dirs, table, C, ids, nears, tmin, triangle, best):
         better = t_c < t_best
         sel = lambda comp: jnp.sum(oh * comp, axis=-1)
         n_c = jnp.stack([sel(unx), sel(uny), sel(unz)], axis=-1)
-        m_c = jnp.round(sel(matf)).astype(jnp.int32)
+        # mat rides as dead state: recovered once from the winner pid
+        # after the phase loop (_recover_mat)
         return (s + 1,
                 jnp.where(better, t_c, t_best),
                 jnp.where(better[:, None], n_c, n_b),
                 jnp.where(better, sel(a), u_b),
                 jnp.where(better, sel(b), v_b),
-                jnp.where(better, m_c, m_b),
+                m_b,
                 jnp.where(better, ids_s * C + idx, p_b))
 
     state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
@@ -326,7 +343,8 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
                                          triangle)
         t, n, u, v, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
-        return jnp.where(t < t_init, t, INF), (n, u, v, m, p)
+        return jnp.where(t < t_init, t, INF), (
+            n, u, v, _recover_mat(chunks.mat, p), p)
 
     nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
@@ -342,15 +360,19 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
 
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
     t, n, u, v, m, p = out[1:]
-    return jnp.where(t < t_init, t, INF), (n, u, v, m, p)
+    return jnp.where(t < t_init, t, INF), (
+        n, u, v, _recover_mat(chunks.mat, p), p)
 
 
 def _sphere_table(chunks: ch.SphereChunks):
-    """[K, 9*C] fused rows: c0/c1 components, rad, mat, active."""
-    f32 = chunks.c0.dtype
+    """[K, 7*C] fused rows: c0/c1 components + rad — the t-test working
+    set. ``active`` is baked in (inactive lanes get rad=0: the quadratic's
+    disc = 4((d.oc)^2 - |d|^2|oc|^2) <= 0 by Cauchy-Schwarz, never a hit)
+    and mat is recovered once per winner (_recover_mat). 9 -> 7 comps =
+    22% fewer sweep bytes."""
     comps = [chunks.c0[..., a] for a in range(3)]
     comps += [chunks.c1[..., a] for a in range(3)]
-    comps += [chunks.rad, chunks.mat.astype(f32), chunks.active.astype(f32)]
+    comps += [jnp.where(chunks.active.astype(bool), chunks.rad, 0.0)]
     return jnp.concatenate(comps, axis=1)
 
 
@@ -359,7 +381,6 @@ def _sphere_row_ts(org, dirs, time, row, C, tmin, t_best):
     c0x, c0y, c0z = (_comp(row, i, C) for i in range(3))
     c1x, c1y, c1z = (_comp(row, i, C) for i in range(3, 6))
     rad = _comp(row, 6, C)
-    active = _comp(row, 8, C) > 0.5
     tt = time[:, None]
     ctx = c0x + tt * (c1x - c0x)
     cty = c0y + tt * (c1y - c0y)
@@ -381,8 +402,9 @@ def _sphere_row_ts(org, dirs, time, row, C, tmin, t_best):
     in0 = (t0 >= tmin) & (t0 <= t_best[:, None])
     in1 = (t1 >= tmin) & (t1 <= t_best[:, None])
     t = jnp.where(in0, t0, jnp.where(in1, t1, INF))
-    ts = jnp.where(has & active, t, INF)
-    return ts, (ctx, cty, ctz), rad, _comp(row, 7, C)
+    # no `active` term: inactive lanes carry rad=0 -> disc <= 0 -> no hit
+    ts = jnp.where(has, t, INF)
+    return ts, (ctx, cty, ctz), rad
 
 
 def _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin, best):
@@ -397,7 +419,7 @@ def _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin, best):
         s, t_best, ctr_b, rad_b, m_b, p_b = state
         ids_s = jax.lax.dynamic_slice_in_dim(ids, s, 1, axis=1)[:, 0]
         row = table[ids_s]
-        ts, (ctx, cty, ctz), rad, matf = _sphere_row_ts(
+        ts, (ctx, cty, ctz), rad = _sphere_row_ts(
             org, dirs, time, row, C, tmin, t_best)
         t_c = jnp.min(ts, axis=-1)
         idx = jnp.argmin(ts, axis=-1)
@@ -405,11 +427,12 @@ def _sphere_sweep(org, dirs, time, table, C, ids, nears, tmin, best):
         better = t_c < t_best
         sel = lambda comp: jnp.sum(oh * comp, axis=-1)
         ctr_c = jnp.stack([sel(ctx), sel(cty), sel(ctz)], axis=-1)
+        # mat rides as dead state: recovered per winner after the loop
         return (s + 1,
                 jnp.where(better, t_c, t_best),
                 jnp.where(better[:, None], ctr_c, ctr_b),
                 jnp.where(better, jnp.maximum(sel(rad), 1e-20), rad_b),
-                jnp.where(better, jnp.round(sel(matf)).astype(jnp.int32), m_b),
+                m_b,
                 jnp.where(better, ids_s * C + idx, p_b))
 
     state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
@@ -439,7 +462,8 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
             sweep = _sphere_sweep_pallas(org, dirs, time, table, K, C, tmin)
         t, ctr, rad, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
-        return jnp.where(t < t_init, t, INF), (ctr, rad, m, p)
+        return jnp.where(t < t_init, t, INF), (
+            ctr, rad, _recover_mat(chunks.mat, p), p)
 
     nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
@@ -455,7 +479,8 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
 
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
     t, ctr, rad, m, p = out[1:]
-    return jnp.where(t < t_init, t, INF), (ctr, rad, m, p)
+    return jnp.where(t < t_init, t, INF), (
+        ctr, rad, _recover_mat(chunks.mat, p), p)
 
 
 # ------------------------------------------------------------- autodiff glue

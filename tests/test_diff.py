@@ -296,3 +296,22 @@ def test_inverse_rendering_recovers_sphere_center():
     err = np.linalg.norm(got - np.array([0.0, 1.0, -3.0]))
     assert err < 0.55 * err0, (got, err, err0)  # 0.156 -> measured 0.063
     np.testing.assert_allclose(got, [0.0, 1.0, -3.0], atol=0.08)
+
+
+def test_geometry_flag_filters_families_same_material_grads():
+    """loss_and_grads(geometry=False) = the BASELINE headline contract
+    set (no geo_* keys), with material/texture gradients IDENTICAL to the
+    full step's (geometry params enter the graph at their current values
+    either way)."""
+    scene, cam = catalog.cornell_box(width=12, spp=2, max_depth=3)
+    target = jnp.zeros((cam.height, cam.width, 3))
+    key = jax.random.key(3)
+    _, (g_full, _) = diff.loss_and_grads(scene, cam, key, target, spp=2)
+    _, (g_mat, _) = diff.loss_and_grads(scene, cam, key, target, spp=2,
+                                        geometry=False)
+    assert any(k.startswith("geo_") for k in g_full)
+    assert not any(k.startswith("geo_") for k in g_mat)
+    for k in g_mat:
+        np.testing.assert_allclose(np.asarray(g_mat[k]),
+                                   np.asarray(g_full[k]), rtol=1e-6,
+                                   err_msg=k)
