@@ -329,6 +329,10 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
     cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
     table = _planar_table(chunks)
 
+    if _use_q16_sweep():
+        return _planar_closest_q16(org, dirs, chunks, tmin, triangle,
+                                   cap, V, K, C)
+
     t_init = cap
     best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
              jnp.zeros((R,), f32), jnp.zeros((R,), jnp.int32),
@@ -481,6 +485,211 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     t, ctr, rad, m, p = out[1:]
     return jnp.where(t < t_init, t, INF), (
         ctr, rad, _recover_mat(chunks.mat, p), p)
+
+
+
+# ------------------------------- quantized-row sweep (opt-in, CRT_SWEEP_Q16)
+def _use_q16_sweep() -> bool:
+    """Opt-in (CRT_SWEEP_Q16=1) chunk-local quantized sweep for PLANAR
+    chunks. The sweep row gather is bandwidth-bound and scales ~linearly
+    with row bytes down to ~2.5 KB (measured 344-360 GB/s on real visit
+    lists, BASELINE.md round 4), so the rows store each triangle/quad's
+    three defining points as u16 coordinates in the CHUNK AABB's frame —
+    5*C packed f32 lanes (2.6 KB/row) instead of 9*C (4.6 KB).
+
+    This is the compressed-leaf trade every production GPU tracer ships:
+    dequantization perturbs vertices by at most extent * 2^-16 per axis
+    (the colonnade: ~30 um on a ~2 m chunk), and the sweep then tests the
+    DEQUANTIZED geometry exactly — no approximate margins, no candidate
+    re-ranking. Edge vectors are integer differences of quantized points,
+    so primitives sharing vertices in one chunk stay watertight; only
+    cross-chunk shared edges can open sub-quantum cracks. A first
+    attempt ranked bf16-approximate candidates with conservative margins
+    instead — abandoned: correct bf16 margins scale with the term
+    magnitudes (q = o + t d - c cancels), and at scene distances the
+    margin floods the candidate set with edge-grazing junk that crowds
+    the true winner out of any fixed top-k.
+
+    MEASURED (2026-08-20, v5e chip): speed-NEUTRAL after the round-4
+    9-comp row diet — colonnade scan 1.001 vs 1.004 s, wavefront 0.937
+    vs 0.782 s — because the dieted sweep is no longer bandwidth-bound:
+    halving row bytes buys back exactly what the u16 unpack + dequant
+    ops add. Image vs the exact sweep: 136.6 dB PSNR, identical means.
+    Kept opt-in as the documented quantization experiment (and the win
+    would return on a future bandwidth-bound configuration, e.g. larger
+    C or cheaper per-lane tests); the exact f32 sweep stays the
+    oracle-pinned default. Quality asserted by tests/test_q16_sweep.py."""
+    import os
+
+    return os.environ.get("CRT_SWEEP_Q16", "0") == "1"
+
+
+def _q16_pack_pair(a, b):
+    """One f32 lane holding u16 ``a`` in the high 16 bits, ``b`` low."""
+    ai = a.astype(jnp.uint32) << 16
+    bi = b.astype(jnp.uint32) & jnp.uint32(0xFFFF)
+    return jax.lax.bitcast_convert_type(ai | bi, jnp.float32)
+
+
+def _q16_unpack_pair(x):
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return ((xi >> 16).astype(jnp.float32),
+            (xi & jnp.uint32(0xFFFF)).astype(jnp.float32))
+
+
+def _planar_table_q16(chunks: ch.PlanarChunks):
+    """([K, 5*C] packed rows, lo [K,3], scale [K,3]) — the three defining
+    points (corner, corner+eu, corner+ev) quantized to u16 in the chunk
+    AABB frame. Inactive lanes quantize all three points equal -> integer
+    edge diffs are exactly zero -> the plane test's d_n == 0 guard kills
+    them, same as the exact table's encoding."""
+    lo, hi = chunks.lo, chunks.hi
+    ext = jnp.maximum(hi - lo, 1e-20)
+    scale = ext / 65535.0
+    inv = 65535.0 / ext
+
+    act = chunks.active[..., None].astype(bool)
+    p0 = chunks.corner
+    p1 = p0 + jnp.where(act, chunks.eu, 0.0)
+    p2 = p0 + jnp.where(act, chunks.ev, 0.0)
+
+    def q(p):
+        u = jnp.clip(jnp.round((p - lo[:, None, :]) * inv[:, None, :]),
+                     0.0, 65535.0)
+        return u.astype(jnp.uint16)
+
+    q0, q1, q2 = q(p0), q(p1), q(p2)
+    pairs = [(q0[..., 0], q0[..., 1]), (q0[..., 2], q1[..., 0]),
+             (q1[..., 1], q1[..., 2]), (q2[..., 0], q2[..., 1]),
+             (q2[..., 2], jnp.zeros_like(q2[..., 2]))]
+    row = jnp.concatenate([_q16_pack_pair(a, b) for a, b in pairs], axis=1)
+    return row, lo, scale
+
+
+def _planar_row_ts_q16(org, dirs, row, lo_s, scale_s, C, tmin, t_best,
+                       triangle):
+    """[R,C] candidate ts + attributes against the DEQUANTIZED row — the
+    exact _planar_row_ts math on the perturbed-by-quantization geometry
+    (no margins). ``lo_s``/``scale_s`` are the gathered [R,3] chunk
+    frames; edge vectors are integer point differences times scale, so
+    they carry only the two endpoints' quantization error."""
+    p = [_q16_unpack_pair(_comp(row, i, C)) for i in range(5)]
+    q0x, q0y = p[0]
+    q0z, q1x = p[1]
+    q1y, q1z = p[2]
+    q2x, q2y = p[3]
+    q2z, _ = p[4]
+
+    sx = scale_s[:, 0, None]
+    sy = scale_s[:, 1, None]
+    sz = scale_s[:, 2, None]
+    cx = lo_s[:, 0, None] + q0x * sx
+    cy = lo_s[:, 1, None] + q0y * sy
+    cz = lo_s[:, 2, None] + q0z * sz
+    eux = (q1x - q0x) * sx
+    euy = (q1y - q0y) * sy
+    euz = (q1z - q0z) * sz
+    evx = (q2x - q0x) * sx
+    evy = (q2y - q0y) * sy
+    evz = (q2z - q0z) * sz
+
+    nx, ny, nz = _cross3(eux, euy, euz, evx, evy, evz)
+    nn = nx * nx + ny * ny + nz * nz
+    inv_len = jax.lax.rsqrt(jnp.maximum(nn, 1e-30))
+    unx, uny, unz = nx * inv_len, ny * inv_len, nz * inv_len
+    d_plane = unx * cx + uny * cy + unz * cz
+    inv_nn = 1.0 / jnp.maximum(nn, 1e-20)
+    wx, wy, wz = nx * inv_nn, ny * inv_nn, nz * inv_nn
+    ewx, ewy, ewz = _cross3(evx, evy, evz, wx, wy, wz)
+    wex, wey, wez = _cross3(wx, wy, wz, eux, euy, euz)
+
+    o_n = _dot3(unx, uny, unz, org)
+    d_n = _dot3(unx, uny, unz, dirs)
+    ok0 = jnp.abs(d_n) > 1e-20
+    t = jnp.where(ok0, (d_plane - o_n) / jnp.where(ok0, d_n, 1.0), 1e30)
+
+    a = jnp.clip(_dot3(ewx, ewy, ewz, org) + t * _dot3(ewx, ewy, ewz, dirs)
+                 - (ewx * cx + ewy * cy + ewz * cz), -1e30, 1e30)
+    b = jnp.clip(_dot3(wex, wey, wez, org) + t * _dot3(wex, wey, wez, dirs)
+                 - (wex * cx + wey * cy + wez * cz), -1e30, 1e30)
+    if triangle:
+        interior = (a >= 0.0) & (b >= 0.0) & (a + b <= 1.0)
+    else:
+        interior = (a >= 0.0) & (a <= 1.0) & (b >= 0.0) & (b <= 1.0)
+    ok = ok0 & (t >= tmin) & (t <= t_best[:, None]) & interior
+    return jnp.where(ok, t, INF), a, b, (unx, uny, unz)
+
+
+def _planar_sweep_q16(org, dirs, tableq, lo, scale, C, ids, nears, tmin,
+                      triangle, best):
+    """_planar_sweep on quantized rows (same state/masks/tie-breaks)."""
+    V = ids.shape[1]
+
+    def cond(state):
+        s = state[0]
+        t_best = state[1]
+        ns = jax.lax.dynamic_slice_in_dim(nears, s, 1, axis=1)[:, 0]
+        return (s < V) & jnp.any(ns < t_best)
+
+    def body(state):
+        s, t_best, n_b, u_b, v_b, m_b, p_b = state
+        ids_s = jax.lax.dynamic_slice_in_dim(ids, s, 1, axis=1)[:, 0]
+        row = tableq[ids_s]                                  # [R, 5C]
+        ts, a, b, (unx, uny, unz) = _planar_row_ts_q16(
+            org, dirs, row, lo[ids_s], scale[ids_s], C, tmin, t_best,
+            triangle)
+        t_c = jnp.min(ts, axis=-1)
+        idx = jnp.argmin(ts, axis=-1)
+        oh = tbl.onehot(idx, C)
+        better = t_c < t_best
+        sel = lambda comp: jnp.sum(oh * comp, axis=-1)
+        n_c = jnp.stack([sel(unx), sel(uny), sel(unz)], axis=-1)
+        return (s + 1,
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], n_c, n_b),
+                jnp.where(better, sel(a), u_b),
+                jnp.where(better, sel(b), v_b),
+                m_b,
+                jnp.where(better, ids_s * C + idx, p_b))
+
+    state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
+    return state[1:]
+
+
+def _planar_closest_q16(org, dirs, chunks, tmin, triangle, cap, V, K, C):
+    """planar_closest_perray body for the quantized-row sweep."""
+    R = org.shape[0]
+    f32 = org.dtype
+    tableq, lo, scale = _planar_table_q16(chunks)
+    t_init = cap
+    best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
+             jnp.zeros((R,), f32), jnp.zeros((R,), jnp.int32),
+             jnp.zeros((R,), jnp.int32))
+    sweep = lambda ids, nears, best: _planar_sweep_q16(
+        org, dirs, tableq, lo, scale, C, jnp.clip(ids, 0, K - 1), nears,
+        tmin, triangle, best)
+
+    if _use_pallas_select(tmin):
+        out = _pallas_phase_loop(org, dirs, cap, chunks.lo, chunks.hi,
+                                 tmin, V, sweep, best0)
+    else:
+        nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
+
+        def cond(state):
+            nr, best = state[0], state[1:]
+            return jnp.any(jnp.min(nr, axis=1) < best[0])
+
+        def body(state):
+            nr, best = state[0], state[1:]
+            ids, nears, nr = _select_block(nr, V)
+            best = sweep(ids, nears, best)
+            return (nr,) + best
+
+        out = jax.lax.while_loop(cond, body, (nr,) + best0)[1:]
+
+    t, n, u, v, m, p = out
+    return jnp.where(t < t_init, t, INF), (
+        n, u, v, _recover_mat(chunks.mat, p), p)
 
 
 # ------------------------------------------------------------- autodiff glue

@@ -1,8 +1,14 @@
 """Stage attribution for the per-ray visit-list accelerator on a large
 chunked scene (the colonnade): time the fused Pallas cull+select, the
-row-gather sweep, and the end-to-end intersect, each as min-of-N jitted
-calls (the axon tunnel adds a fixed per-dispatch cost; min-of-N rejects
-hiccups and the stages are compared at the same dispatch count).
+row-gather sweep, and the end-to-end intersect.
+
+Two timing modes per stage:
+ - single-dispatch min-of-N ("+disp"): includes the axon tunnel's fixed
+   ~20-30 ms per-dispatch cost — DO NOT read these as device time (the
+   round-3 "60 ms/bounce" attribution made that mistake);
+ - chained-iteration slope ("device"): N data-dependent calls inside ONE
+   dispatch, slope over N = true device cost (round-4 measured the
+   end-to-end intersect at 34.5 ms/bounce this way, not 60).
 
 Usage: python tools/perray_profile.py [width] [reps]
 """
@@ -62,8 +68,27 @@ def main():
     t_full = best_of(lambda: np.asarray(full(org, dirs)), reps)
     hit = jax.jit(lambda o, d: jnp.mean(jnp.isfinite(
         perray.planar_closest_perray(o, d, chunks, tmin, True)[0]) * 1.0))
-    print(f"end-to-end intersect: {t_full*1e3:8.1f} ms  "
+    print(f"end-to-end intersect: {t_full*1e3:8.1f} ms  (+disp)  "
           f"(hit {float(hit(org, dirs)):.0%})")
+
+    # device-true slope: chain N dependent intersects in one dispatch
+    def chain(iters):
+        @jax.jit
+        def run(o, d):
+            def body(c, _):
+                o_, d_ = c
+                t_ = perray.planar_closest_perray(o_, d_, chunks, tmin,
+                                                  True)[0]
+                o2 = o_ + jnp.where(jnp.isfinite(t_), 1e-7 * t_, 0.0)[:, None]
+                return (o2, d_), None
+            c, _ = jax.lax.scan(body, (o, d), None, length=iters)
+            return c[0].sum()
+        return run
+
+    t2 = best_of(lambda f=chain(2): np.asarray(f(org, dirs)), reps)
+    t8 = best_of(lambda f=chain(8): np.asarray(f(org, dirs)), reps)
+    print(f"end-to-end intersect: {(t8 - t2) / 6 * 1e3:8.1f} ms  (device, "
+          f"chained slope; fixed dispatch ~{(t2 - (t8 - t2) / 3) * 1e3:.0f} ms)")
 
     # ---- phase-1 cull+select alone (the Pallas kernel)
     cap = jnp.full((n,), jnp.inf, jnp.float32)
@@ -79,7 +104,7 @@ def main():
 
     sel_s = jax.jit(_sel_scalar)
     t_sel = best_of(lambda: np.asarray(sel_s(rays, boxes, excl0)), reps)
-    print(f"cull+select (1 phase): {t_sel*1e3:6.1f} ms")
+    print(f"cull+select (1 phase): {t_sel*1e3:6.1f} ms  (+disp)")
 
     # ---- sweep alone on the phase-1 lists
     sel = jax.jit(lambda r, b, e: ps.cull_select(r, b, e, V, K, tmin))
@@ -94,7 +119,7 @@ def main():
             org, dirs, table, C, jnp.clip(i, 0, K - 1), nr, tmin, True,
             best0)[0]), t_, 0.0)))
     t_swp = best_of(lambda: np.asarray(swp(ids_r, nears_r)), reps)
-    print(f"sweep (phase-1 lists): {t_swp*1e3:6.1f} ms")
+    print(f"sweep (phase-1 lists): {t_swp*1e3:6.1f} ms  (+disp)")
 
     # visit statistics
     crossed = np.isfinite(np.asarray(nears_r)).sum(1)
