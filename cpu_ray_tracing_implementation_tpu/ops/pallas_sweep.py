@@ -268,7 +268,7 @@ def sweep(rays, ids, nears, best, table, V: int, C: int, tmin: float,
             pl.BlockSpec((RB, V), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, V), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((RB, 8), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

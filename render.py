@@ -117,9 +117,9 @@ def use_wavefront(mode: str, scene) -> bool:
     tables, where the wavefront is 5x SLOWER (Cornell 512px d8: 1.83 s vs
     0.34 s; refill bookkeeping + an un-unrollable while_loop swamp the
     cheap [R,18] intersect). Numbers: BASELINE.md round-4 section."""
-    if mode == "on":
+    if mode == "on" or mode is True:    # bool: pre-round-4 JSON configs
         return True
-    if mode == "off":
+    if mode == "off" or mode is False:
         return False
     return (scene.tri_chunks is not None or scene.sphere_chunks is not None
             or scene.quad_chunks is not None)

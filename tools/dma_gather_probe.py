@@ -88,7 +88,7 @@ def pallas_gather_sum(ids, table):
         in_specs=[
             pl.BlockSpec((RB, V), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
         ],
         out_specs=pl.BlockSpec((RB, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
