@@ -113,8 +113,14 @@ def main():
     fwd(128, 0)
     t_f_hi, _ = _timed(lambda: fwd(256, 1))
     t_f_lo, _ = _timed(lambda: fwd(128, 1))
+    # A two-point slope on min-of-3 timings can land inside tunnel noise
+    # (t_hi <= t_lo): flag it instead of letting a clamped 1e-9 denominator
+    # blow bwd_over_fwd to ~1e8 and poison the roofline fields (ADVICE r04).
+    slope_unreliable = (t_f_hi - t_f_lo) < 0.05 * t_f_lo
     fwd_slope = max(t_f_hi - t_f_lo, 1e-9) / (256 - 128)
     bwd_over_fwd = max(fb_slope / fwd_slope - 1.0, 0.0)
+    if slope_unreliable:
+        bwd_over_fwd = min(bwd_over_fwd, 3.0)  # remat-everything ~2.2 bound
 
     # roofline of the headline fwd+bwd step: analytic fwd flops, backward
     # at the measured time ratio (assumed no better than fwd efficiency)
@@ -128,6 +134,8 @@ def main():
         "bwd_over_fwd_measured": round(bwd_over_fwd, 2),
         "bound": "compute(vpu-f32)",
     }
+    if slope_unreliable:
+        roof["slope_unreliable"] = True
 
     # reference-matched forward workload for the baseline ratio, by slope
     scene_m, cam_m = catalog.cornell_box(width=600, spp=40, max_depth=4)

@@ -81,10 +81,12 @@ def _kernel(rays_ref, boxes_ref, excl_ref, ids_ref, nears_ref, rest_ref,
         # can-this-slot-improve masks and the phase loop's rest-vs-best
         # test only ever do MORE work for a smaller near, never less, and
         # the final (t, pid) is decided by exact geometry in the sweep —
-        # the phase-loop result is bit-identical to the exact mode's
-        # (tests/test_pallas_select.py), only the visit ORDER of chunks
-        # whose nears coarsen equal can differ (id tie-break, still a
-        # deterministic total order).
+        # the phase-loop result is identical to the exact mode's UP TO
+        # EXACT-t TIES (tests/test_pallas_select.py): chunks whose nears
+        # coarsen equal are visited in id order rather than exact-near
+        # order, so two primitives in DIFFERENT chunks with exactly equal
+        # hit t (shared edges/vertices in structured scenes) can resolve
+        # to a different — still deterministic — winning pid/normal/mat.
         IDB = _id_bits(K)
         HMASK = jnp.int32(-(1 << IDB))           # high (near) bits
         MASKV = jnp.int32(0x7FFFFFFF)            # > every real key
@@ -147,7 +149,17 @@ def cull_select(rays, boxes, excl, V: int, K_real: int, tmin: float,
     rounded DOWN by the id bits (rel 2^-(23-IDB), conservative; NaN
     instead of +inf for exhausted slots), ids/phase partition unchanged.
     ``packed=False`` is the exact (near, id) reference path.
+
+    PRECONDITION for packed mode: ``tmin > 0``. The key order relies on
+    every real near's f32 bit pattern being a positive int32; with
+    tmin == 0 a ray starting inside chunk 0's AABB gets near == 0, whose
+    coarsened key (0) would be swallowed by the phase-1 exclusion
+    (key <= excl_key == 0) and real geometry skipped (ADVICE r04).
+    Callers always pass the positive T_MIN literal; a non-positive tmin
+    falls back to the exact path, which has no such assumption.
     """
+    if tmin <= 0.0:
+        packed = False
     R = rays.shape[0]
     K = boxes.shape[1]
     RB = _ray_block(K)

@@ -231,15 +231,19 @@ def _planar_table(chunks: ch.PlanarChunks):
     return jnp.concatenate(comps, axis=1)
 
 
-def _recover_mat(chunk_mat, pid):
+def _recover_mat(chunk_mat, pid, hit):
     """[R] mat of chunk-order primitive ``pid`` — one row gather + one-hot
     lane select (take_along_axis serializes on TPU; this is the same
-    row-gather shape the sweep uses)."""
+    row-gather shape the sweep uses). ``hit`` gates the recovery: miss
+    rays keep the 0-init sentinel the chunk-scan oracle's payload carries
+    (pid stays at its 0 init on a miss, and chunks.mat[0,0] would leak
+    through otherwise — ADVICE r04)."""
     C = chunk_mat.shape[1]
     rows = chunk_mat[pid // C]                       # [R, C]
-    return jnp.round(jnp.sum(
+    mat = jnp.round(jnp.sum(
         tbl.onehot(pid % C, C) * rows.astype(jnp.float32),
         axis=-1)).astype(jnp.int32)
+    return jnp.where(hit, mat, 0)
 
 
 def _planar_row_ts(org, dirs, row, C, tmin, t_best, triangle):
@@ -348,7 +352,7 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
         t, n, u, v, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
         return jnp.where(t < t_init, t, INF), (
-            n, u, v, _recover_mat(chunks.mat, p), p)
+            n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
 
     nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
@@ -365,7 +369,7 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
     t, n, u, v, m, p = out[1:]
     return jnp.where(t < t_init, t, INF), (
-        n, u, v, _recover_mat(chunks.mat, p), p)
+        n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
 
 
 def _sphere_table(chunks: ch.SphereChunks):
@@ -467,7 +471,7 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
         t, ctr, rad, m, p = _pallas_phase_loop(
             org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
         return jnp.where(t < t_init, t, INF), (
-            ctr, rad, _recover_mat(chunks.mat, p), p)
+            ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
 
     nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
 
@@ -484,7 +488,7 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     out = jax.lax.while_loop(cond, body, (nr,) + best0)
     t, ctr, rad, m, p = out[1:]
     return jnp.where(t < t_init, t, INF), (
-        ctr, rad, _recover_mat(chunks.mat, p), p)
+        ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
 
 
 
@@ -689,7 +693,7 @@ def _planar_closest_q16(org, dirs, chunks, tmin, triangle, cap, V, K, C):
 
     t, n, u, v, m, p = out
     return jnp.where(t < t_init, t, INF), (
-        n, u, v, _recover_mat(chunks.mat, p), p)
+        n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
 
 
 # ------------------------------------------------------------- autodiff glue

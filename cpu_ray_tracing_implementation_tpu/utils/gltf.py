@@ -313,8 +313,13 @@ class GltfLoader:
                 if tg is not None and tg.ndim == 2 and tg.shape[1] == 4:
                     txyz = tg[:, :3].astype(np.float64) @ world[:3, :3].T
                     txyz /= np.linalg.norm(txyz, axis=-1, keepdims=True) + 1e-20
+                    # mirroring transform (negative determinant) flips
+                    # surface orientation: a consumer reconstructing the
+                    # bitangent as w*(n x t) needs w's sign flipped too,
+                    # or normal maps invert on mirrored instances
+                    wsign = 1.0 if np.linalg.det(world[:3, :3]) >= 0 else -1.0
                     tangents = np.concatenate(
-                        [txyz, tg[:, 3:4].astype(np.float64)],
+                        [txyz, wsign * tg[:, 3:4].astype(np.float64)],
                         axis=1).astype(np.float32)
 
             self.primitives.append(Primitive(

@@ -157,3 +157,44 @@ def test_integrator_matches_packet_on_chunked_scene(tri_scene, monkeypatch):
                                rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(h_r.mat)[m],
                                   np.asarray(h_p.mat)[m])
+
+
+def test_perray_miss_mat_sentinel(tri_scene, monkeypatch):
+    """Miss rays carry the chunk-scan oracle's payload contract: mat == 0
+    (pid is left at its 0 init; the winner-mat recovery must not leak
+    chunks.mat[0,0] into miss lanes — ADVICE r04)."""
+    monkeypatch.setenv("CRT_RAYV", "8")
+    rng = np.random.default_rng(11)
+    org, dirs = _rand_rays(rng, 256)
+    t_c, (_, _, _, m_c, _) = chunked.planar_closest(
+        org, dirs, tri_scene.tri_chunks, 1e-3, triangle=True)
+    t_r, (_, _, _, m_r, _) = perray.planar_closest_perray(
+        org, dirs, tri_scene.tri_chunks, 1e-3, True)
+    miss = ~np.isfinite(np.asarray(t_r))
+    assert miss.sum() > 10
+    np.testing.assert_array_equal(np.asarray(m_r)[miss],
+                                  np.asarray(m_c)[miss])
+    np.testing.assert_array_equal(np.asarray(m_r)[miss], 0)
+
+    time = jnp.zeros((256,), jnp.float32)
+    # sphere path shares the recovery; use the tri scene's rays against a
+    # fresh sphere scene via the module fixture machinery is overkill —
+    # an empty-direction miss is enough to exercise the gate
+    t_s, (_, _, m_s, _) = perray.sphere_closest_perray(
+        org + 1e4, dirs, time,
+        _sphere_chunks_for_miss(), 1e-3)
+    assert not np.isfinite(np.asarray(t_s)).any()
+    np.testing.assert_array_equal(np.asarray(m_s), 0)
+
+
+def _sphere_chunks_for_miss():
+    b = scene_mod.SceneBuilder()
+    b.lambertian((0.1, 0.1, 0.1))      # claim id 0 (never used)
+    m = b.metal((0.5, 0.5, 0.5), 0.1)  # mat id 1: a mat[0,0] leak is visible
+    assert m != 0
+    rng = np.random.default_rng(3)
+    for c in rng.normal(0, 2.0, (600, 3)):
+        b.sphere(c, 0.1, m)
+    chunks = b.build().sphere_chunks
+    assert int(np.asarray(chunks.mat)[0, 0]) != 0
+    return chunks
