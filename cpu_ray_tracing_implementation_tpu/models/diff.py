@@ -136,15 +136,29 @@ def apply_scene_params(scene, params: dict):
 
 
 def camera_params(camera) -> dict:
-    return {
-        "pos": camera.pos,
-        "lookat": camera.lookat,
-        "fovy_deg": camera.fovy_deg,
-        "focal_length": camera.focal_length,
-        "ortho_viewport_h": camera.ortho_viewport_h,
-        "defocus_angle_deg": camera.defocus_angle_deg,
-        "focus_dist": camera.focus_dist,
-    }
+    """Differentiable camera leaves for the camera's STATIC mode only —
+    the same conditional-exposure rule as ``mat_dispersion`` above: a
+    parameter outside the mode's ray-gen graph has an identically-zero
+    gradient, and exposing it hands the optimizer (and the multichip
+    dryrun's liveness assertions) a structural no-op. Liveness per mode
+    (models/camera.py generate_rays/_viewport; src/camera.h:21-132):
+    perspective/fisheye = fovy + focal_length; orthographic =
+    ortho_viewport_h (fovy/focal_length never enter); thin-lens = fovy +
+    focus_dist + defocus_angle_deg (focal_length is replaced by
+    focus_dist in the viewport scale)."""
+    from cpu_ray_tracing_implementation_tpu.models import camera as cam_mod
+
+    p = {"pos": camera.pos, "lookat": camera.lookat}
+    if camera.mode == cam_mod.ORTHOGRAPHIC:
+        p["ortho_viewport_h"] = camera.ortho_viewport_h
+    elif camera.mode == cam_mod.LENS:
+        p["fovy_deg"] = camera.fovy_deg
+        p["defocus_angle_deg"] = camera.defocus_angle_deg
+        p["focus_dist"] = camera.focus_dist
+    else:  # PERSPECTIVE / FISHEYE
+        p["fovy_deg"] = camera.fovy_deg
+        p["focal_length"] = camera.focal_length
+    return p
 
 
 def apply_camera_params(camera, params: dict):

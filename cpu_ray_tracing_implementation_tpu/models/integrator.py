@@ -409,8 +409,16 @@ def _lane_uniforms(keys, n: int) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("spp",))
-def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
+def render_wavefront(scene, camera, key, spp: int,
+                     pixel_ids: jnp.ndarray | None = None) -> jnp.ndarray:
     """Path-regeneration wavefront render: radiance SUM [H*W, 3].
+
+    ``pixel_ids`` (optional [L] int32 GLOBAL pixel ids): restrict the lane
+    pool to an arbitrary pixel subset — the sum comes back [L, 3] in subset
+    order. All RNG is keyed by the global (pixel, sample) pair, so any
+    partition of the pixel set (shards across chips, tiles across
+    dispatches) reproduces the full-frame paths bitwise — the same
+    contract as accumulate_samples_subset on the classic scan.
 
     The classic integrator (render_image) runs every lane for max_depth
     bounces even after it dies — at depth 8 most lanes are dead after 3-4
@@ -437,8 +445,15 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     n_vol = scene.n_volumes
     nslot = mat_ops.NSLOT + n_vol
     max_depth = camera.max_depth
-    R = n_pix
-    total = n_pix * spp
+    # L = lane-pool size = pixels this instance owns; path_id enumerates
+    # (local pixel, sample) pairs and _gpix maps a local lane to its GLOBAL
+    # pixel id (the RNG/camera key), so shards/tiles reproduce full-frame
+    # paths bitwise
+    L = n_pix if pixel_ids is None else pixel_ids.shape[0]
+    _gpix = (lambda lane: lane) if pixel_ids is None \
+        else (lambda lane: pixel_ids[lane])
+    R = L
+    total = L * spp
     f32 = jnp.float32
     fast = _rng_impl() == "fast"
 
@@ -488,8 +503,8 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     def spawn_wavelength(path_id):
         """Per-lane hero wavelength, bitwise the classic render_sample
         draw for the lane's (pixel, sample) path."""
-        pix = path_id % n_pix
-        s = jnp.clip(path_id // n_pix, 0, spp - 1)
+        pix = _gpix(path_id % L)
+        s = jnp.clip(path_id // L, 0, spp - 1)
         if fast:
             u_wl = fastrng.uniforms(wl_words[s, 0], wl_words[s, 1],
                                     pix, 1)[:, 0]
@@ -503,7 +518,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
 
     def path_keys(path_id):
         """(k_cam, k_path) of a path's sample, per lane (threefry impl)."""
-        sample = path_id // n_pix
+        sample = path_id // L
         ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample)
         pair = jax.vmap(lambda k: jax.random.split(k))(ks)
         return pair[:, 0], pair[:, 1]
@@ -511,13 +526,13 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     def spawn(path_id):
         """Camera rays + fresh state for the given path ids (id >= total ->
         inactive lane)."""
-        pix = path_id % n_pix
+        pix = _gpix(path_id % L)
         if use_qmc:
-            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            s = jnp.clip(path_id // L, 0, spp - 1)
             u_cam = qmc.uniforms(q_words, pix, s, 0, qmc.CAM_GROUP,
                                  qmc.CAM_DIM)
         elif fast:
-            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            s = jnp.clip(path_id // L, 0, spp - 1)
             u_cam = fastrng.uniforms(cam_words[s, 0], cam_words[s, 1],
                                      pix, cam_mod.N_CAM_SLOTS)
         else:
@@ -528,7 +543,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             # per-lane absolute sample index == the classic loop's scalar
             # one (Sobol jitter is already stratified; see render_sample)
             u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam,
-                                                  path_id // n_pix)
+                                                  path_id // L)
         org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
         if scene.world_offset is not None:
             org = org - scene.world_offset[None, :]
@@ -540,15 +555,16 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
          issued, image) = state[:10]
         wl = state[10] if dispersive else None
         emis_w = state[11 if dispersive else 10] if nee else None
-        pix = path_id % n_pix
+        lane = path_id % L       # local image row
+        pix = _gpix(lane)        # global pixel id (RNG + camera key)
         if use_qmc:
-            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            s = jnp.clip(path_id // L, 0, spp - 1)
             b = jnp.clip(bounce, 0, max_depth - 1)
             u = qmc.uniforms(q_words, pix, s,
                              qmc.N_CAM_GROUPS + b * qb_ngroups,
                              qb_groups, qb_dims)
         elif fast:
-            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            s = jnp.clip(path_id // L, 0, spp - 1)
             b = jnp.clip(bounce, 0, max_depth - 1)
             u = fastrng.uniforms(path_words[s, b, 0], path_words[s, b, 1],
                                  pix, nslot)
@@ -560,7 +576,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
 
         rr_u = None
         if rr_depth:
-            s = jnp.clip(path_id // n_pix, 0, spp - 1)
+            s = jnp.clip(path_id // L, 0, spp - 1)
             b = jnp.clip(bounce, 0, max_depth - 1)
             if fast:
                 u_rr = fastrng.uniforms(rr_words[s, b, 0], rr_words[s, b, 1],
@@ -599,7 +615,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
             flush = radiance * spectrum.spectral_path_weight(wl)
         if camera.clamp > 0.0:
             flush = jnp.minimum(flush, camera.clamp)  # firefly clamp
-        image = image.at[pix].add(jnp.where(done[:, None], flush, 0.0))
+        image = image.at[lane].add(jnp.where(done[:, None], flush, 0.0))
 
         # refill finished lanes with the next unissued paths
         rank = jnp.cumsum(done.astype(jnp.int32)) - 1
@@ -633,7 +649,7 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     org0, dirs0, time0, active0 = spawn(path0)
     state = (path0, jnp.zeros((R,), jnp.int32), org0, dirs0, time0,
              jnp.ones((R, 3), f32), jnp.zeros((R, 3), f32), active0,
-             jnp.int32(R), jnp.zeros((n_pix, 3), f32))
+             jnp.int32(R), jnp.zeros((L, 3), f32))
     if dispersive:
         state += (spawn_wavelength(path0),)
     if nee:
@@ -642,15 +658,37 @@ def render_wavefront(scene, camera, key, spp: int) -> jnp.ndarray:
     return state[9]
 
 
-def render_image_wavefront(scene, camera, key, spp: int | None = None):
+def render_image_wavefront(scene, camera, key, spp: int | None = None,
+                           tile_pixels: int | None = None):
     """Full image [H,W,3] through the path-regeneration wavefront.
 
     Dispersive scenes carry each lane's hero wavelength through the refill
     logic (spawn_wavelength reconstructs the classic render_sample draw per
-    (pixel, sample) path), so spectral renders match the classic scan."""
+    (pixel, sample) path), so spectral renders match the classic scan.
+
+    ``tile_pixels``: host loop over fixed-size pixel tiles, each a
+    wavefront over that tile's lane pool (one compiled shape; the tail
+    tile pads with repeated pixel 0 and discards the extras). RNG is
+    global-(pixel, sample) keyed, so every path's radiance is bitwise the
+    untiled wavefront's; only the per-pixel flush ORDER differs with the
+    tile's refill dynamics (allclose, same contract as wavefront-vs-scan)."""
+    import numpy as np
+
     spp = camera.spp if spp is None else spp
-    accum = render_wavefront(scene, camera, key, spp)
-    return (accum / spp).reshape(camera.height, camera.width, 3)
+    n_pix = camera.width * camera.height
+    if tile_pixels is None or tile_pixels >= n_pix:
+        accum = render_wavefront(scene, camera, key, spp)
+        return (accum / spp).reshape(camera.height, camera.width, 3)
+    tile = tile_pixels
+    out = np.zeros((n_pix, 3), np.float32)
+    for start in range(0, n_pix, tile):
+        n_real = min(tile, n_pix - start)
+        ids = np.arange(start, start + tile, dtype=np.int32)
+        ids[n_real:] = 0  # pad rows discarded below
+        acc = render_wavefront(scene, camera, key, spp,
+                               pixel_ids=jnp.asarray(ids))
+        out[start:start + n_real] = np.asarray(acc)[:n_real]
+    return jnp.asarray(out / spp).reshape(camera.height, camera.width, 3)
 
 
 def render_image(scene, camera, key, spp: int | None = None,

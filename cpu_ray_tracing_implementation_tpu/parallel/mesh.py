@@ -101,6 +101,43 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
     return run(scene, camera, key, spp)
 
 
+def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
+                                   spp: int | None = None):
+    """Full image [H,W,3] through the path-regeneration wavefront, pixels
+    sharded across the mesh — the PRODUCTION render fan-out for chunked/
+    accelerated scenes (render.py auto-routes those to the wavefront; the
+    reference's only parallelism is exactly this fan-out of its BVH render,
+    src/camera.h:158). Each device runs an independent wavefront over its
+    pixel shard (lane pool = shard size, refill queue = shard pixels x spp);
+    RNG is global-(pixel, sample) keyed, so every path's radiance is bitwise
+    the single-chip wavefront's and the image assembles through the output
+    sharding with no collective beyond the gather."""
+    spp = camera.spp if spp is None else spp
+    n_dev = mesh.devices.size
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_dev)
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, spp_: int):
+        # padding lanes re-render pixel 0; discarded after reshape
+        pixel_ids = jnp.where(jnp.arange(n_padded) < n_pix,
+                              jnp.arange(n_padded), 0).astype(jnp.int32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(AXIS)),
+            out_specs=P(AXIS),
+        )
+        def shard_render(scene, camera, key, pids):
+            return integrator.render_wavefront(scene, camera, key, spp_,
+                                               pixel_ids=pids)
+
+        flat = shard_render(scene, camera, key, pixel_ids)
+        return (flat[:n_pix] / spp_).reshape(camera.height, camera.width, 3)
+
+    return run(scene, camera, key, spp)
+
+
 def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
     """Full image; the *sample* axis sharded: each chip renders spp/n_dev
     samples of every pixel and partial radiance is psum-reduced over ICI."""

@@ -85,3 +85,86 @@ def test_wavefront_auto_routing():
     args = render_mod.build_parser().parse_args(["s", "--wavefront"])
     assert args.wavefront == "on"
     assert render_mod.build_parser().parse_args(["s"]).wavefront == "auto"
+
+
+def _args(extra):
+    return render_mod.build_parser().parse_args(["cornell_box"] + extra)
+
+
+def test_flag_combinations_compose_or_error():
+    """Every pairwise combination of the render-loop-owning flags either
+    composes (validate_flags -> None) or errors loudly — no silent drops
+    (VERDICT r04 weak 2)."""
+    flags = {
+        "checkpoint": ["--checkpoint", "/tmp/ck.npz"],
+        "adaptive": ["--adaptive", "0.05"],
+        "wavefront_on": ["--wavefront", "on"],
+        "tile_pixels": ["--tile-pixels", "256"],
+        "sharded": ["--sharded"],
+    }
+    composes = {
+        frozenset({"wavefront_on", "tile_pixels"}),  # wavefront per tile
+        frozenset({"wavefront_on", "sharded"}),      # sharded wavefront
+    }
+    for a in flags:
+        for b in flags:
+            if a >= b:
+                continue
+            err = render_mod.validate_flags(_args(flags[a] + flags[b]))
+            if frozenset({a, b}) in composes:
+                assert err is None, (a, b, err)
+            else:
+                assert err is not None, (a, b)
+    # each flag alone composes
+    for a in flags:
+        assert render_mod.validate_flags(_args(flags[a])) is None, a
+    # wavefront 'auto' is a preference, not a request: checkpoint/adaptive
+    # fall back to the scan without erroring
+    assert render_mod.validate_flags(
+        _args(["--checkpoint", "/tmp/ck.npz", "--wavefront", "auto"])) is None
+    assert render_mod.validate_flags(_args(["--adaptive", "0.05"])) is None
+
+
+def test_incompatible_flags_exit_with_error(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        render_mod.main(["cornell_box", "--width", "8", "--spp", "1",
+                         "--checkpoint", str(tmp_path / "c.npz"),
+                         "--wavefront", "on",
+                         "-o", str(tmp_path / "x.png")])
+    assert e.value.code == 2
+
+
+def test_sharded_composes_with_wavefront_routing(tmp_path):
+    """--sharded on a chunked (wavefront-auto) scene renders through the
+    SHARDED wavefront — it used to be silently swallowed (VERDICT r04
+    weak 2) — and matches the single-chip wavefront image."""
+    import numpy as np
+
+    base = ["sphereflake", "--width", "16", "--spp", "2", "--max-depth", "2"]
+    out_s = tmp_path / "s.png"
+    out_1 = tmp_path / "one.png"
+    assert render_mod.main(base + ["--sharded", "-o", str(out_s)]) == 0
+    assert render_mod.main(base + ["-o", str(out_1)]) == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open(out_s), np.int16)
+    b = np.asarray(Image.open(out_1), np.int16)
+    assert np.abs(a - b).max() <= 1
+
+
+def test_tile_pixels_composes_with_wavefront(tmp_path):
+    import numpy as np
+
+    base = ["sphereflake", "--width", "16", "--spp", "2", "--max-depth", "2"]
+    out_t = tmp_path / "t.png"
+    out_1 = tmp_path / "one.png"
+    assert render_mod.main(base + ["--tile-pixels", "64", "--wavefront", "on",
+                                   "-o", str(out_t)]) == 0
+    assert render_mod.main(base + ["-o", str(out_1)]) == 0
+    from PIL import Image
+
+    a = np.asarray(Image.open(out_t), np.int16)
+    b = np.asarray(Image.open(out_1), np.int16)
+    assert np.abs(a - b).max() <= 1
