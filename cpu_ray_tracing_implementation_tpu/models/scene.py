@@ -211,6 +211,13 @@ class Scene:
     sphere_tree: bvh_mod.BVHTree | None = None
     quad_tree: bvh_mod.BVHTree | None = None
     tri_tree: bvh_mod.BVHTree | None = None
+    # build-time BVH permutation (dense row -> chunk-major position) per
+    # chunked family: lets diff.apply_scene_params re-derive the chunk
+    # tables from updated dense geometry IN-GRAPH (ops/chunked.rechunk_*),
+    # which is what makes geometry differentiable on chunked scenes
+    sphere_chunk_order: jnp.ndarray | None = None  # [S] int32
+    quad_chunk_order: jnp.ndarray | None = None    # [Q] int32
+    tri_chunk_order: jnp.ndarray | None = None     # [T] int32
     # per-vertex triangle attributes (smooth normals + UVs); None when no
     # mesh supplied them
     tri_attrs: TriAttrs | None = None
@@ -679,13 +686,14 @@ class SceneBuilder:
                     jnp.asarray(clo), jnp.asarray(chi), nodes, order)
 
         sphere_chunks = sphere_tree = None
+        sphere_order = None
         if len(self._sph) > chunked_mod.DENSE_MAX:
             c0 = np.stack([np.asarray(r[0], f32) for r in self._sph])
             c1 = np.stack([np.asarray(r[1], f32) for r in self._sph])
             rad = np.array([r[2] for r in self._sph], f32)
             lo = np.minimum(c0, c1) - rad[:, None]
             hi = np.maximum(c0, c1) + rad[:, None]
-            (cols, m, act, clo, chi, nodes, _order) = chunkify(
+            (cols, m, act, clo, chi, nodes, sphere_order) = chunkify(
                 [c0, c1, rad], lo, hi, [r[3] for r in self._sph])
             sphere_chunks = chunked_mod.SphereChunks(
                 c0=cols[0], c1=cols[1], rad=cols[2], mat=m, active=act,
@@ -715,8 +723,9 @@ class SceneBuilder:
             return chunks, tree, order
 
         quad_chunks = quad_tree = None
+        quad_order = None
         if len(self._quads) > chunked_mod.DENSE_MAX:
-            quad_chunks, quad_tree, _ = planar_chunks(self._quads)
+            quad_chunks, quad_tree, quad_order = planar_chunks(self._quads)
         tri_chunks = tri_tree = None
         tri_order = None
         if len(self._tris) > chunked_mod.DENSE_MAX:
@@ -873,6 +882,12 @@ class SceneBuilder:
             sphere_tree=sphere_tree,
             quad_tree=quad_tree,
             tri_tree=tri_tree,
+            sphere_chunk_order=(jnp.asarray(np.asarray(sphere_order, np.int32))
+                                if sphere_order is not None else None),
+            quad_chunk_order=(jnp.asarray(np.asarray(quad_order, np.int32))
+                              if quad_order is not None else None),
+            tri_chunk_order=(jnp.asarray(np.asarray(tri_order, np.int32))
+                             if tri_order is not None else None),
             tri_attrs=tri_attrs,
             world_lo=tuple(float(x) for x in blo) if have_bounds else None,
             world_hi=tuple(float(x) for x in bhi) if have_bounds else None,

