@@ -336,6 +336,9 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
     if _use_q16_sweep():
         return _planar_closest_q16(org, dirs, chunks, tmin, triangle,
                                    cap, V, K, C)
+    if _use_subtile() and C % _subtile_c() == 0:
+        return _planar_closest_subtile(org, dirs, chunks, tmin, triangle,
+                                       cap)
 
     t_init = cap
     best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
@@ -456,6 +459,8 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     K, C = chunks.rad.shape
     V = min(_visit_block(), K)
     cap = jnp.broadcast_to(jnp.asarray(tmax, f32), (R,))
+    if _use_subtile() and C % _subtile_c() == 0:
+        return _sphere_closest_subtile(org, dirs, time, chunks, tmin, cap)
     table = _sphere_table(chunks)
 
     t_init = cap
@@ -490,6 +495,251 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
     return jnp.where(t < t_init, t, INF), (
         ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
 
+
+
+# ----------------- sub-tile selection (finer traversal altitude, round 5)
+# The C=128 chunk is the selection granule of every path above: a visited
+# chunk costs 128 masked primitive tests even though the ray's interval
+# typically overlaps a small part of it — BASELINE.md round 4 measured the
+# sweep at its VPU compute floor (~31.7 ms/bounce = V=16 x 128 = 2048
+# tests/ray) and concluded further wins need FEWER TESTS, not cheaper
+# bytes. This mode selects at sub-tile granularity (CS-prim slices of each
+# chunk, default 32, with their own AABBs) and sweeps P = 128/CS selected
+# sub-tiles per slot packed into one full 128-lane test:
+#
+#  - selection sees 4x more, 4x tighter boxes (the Pallas cull+select
+#    kernel and the exactness phase loop are reused unchanged — only the
+#    box table and the id space change);
+#  - every swept 128-lane row is assembled from the ray's P NEAREST
+#    crossed sub-tiles (possibly from different chunks), so the lanes are
+#    all candidates instead of 1 tight region + 96 bystanders;
+#  - pid stays the global chunk-major primitive index (sub-tiles are
+#    contiguous slices), so winner-mat recovery, replay VJPs, and
+#    tri_attrs indexing are untouched.
+#
+# Exactness argument is the chunk path's, verbatim: testing extra
+# primitives never breaks closest-hit correctness, selection order is
+# front-to-back by (near, id), and the phase loop re-selects until no
+# ray's nearest unvisited sub-tile can beat its best.
+
+
+def _use_subtile() -> bool:
+    """Opt-in (CRT_SUBTILE=1) while being measured; see BASELINE.md."""
+    import os
+
+    return os.environ.get("CRT_SUBTILE", "0") == "1"
+
+
+def _subtile_c() -> int:
+    import os
+
+    return int(os.environ.get("CRT_SUBC", "32"))
+
+
+def _visit_block_sub() -> int:
+    """Sub-tile visit slots per phase (multiple of P = 128/CS)."""
+    import os
+
+    return int(os.environ.get("CRT_RAYV_SUB", "24"))
+
+
+def _subtile_bounds_planar(chunks: ch.PlanarChunks, CS: int):
+    """([K*G,3] lo, hi) sub-tile AABBs from the chunk tables (in-graph;
+    inactive lanes excluded — they'd otherwise pin every padded box to the
+    origin). Same +-1e-4 degenerate-axis pad as the build (src/aabb.h:81)."""
+    K, C = chunks.mat.shape
+    G = C // CS
+    act = chunks.active[..., None].astype(bool)
+    eu = jnp.where(act, chunks.eu, 0.0)
+    ev = jnp.where(act, chunks.ev, 0.0)
+    c = chunks.corner
+    pts = jnp.stack([c, c + eu, c + ev, c + eu + ev])      # [4,K,C,3]
+    lane_lo = jnp.where(act, pts.min(0) - 1e-4, INF)
+    lane_hi = jnp.where(act, pts.max(0) + 1e-4, -INF)
+    lo = lane_lo.reshape(K, G, CS, 3).min(axis=2).reshape(K * G, 3)
+    hi = lane_hi.reshape(K, G, CS, 3).max(axis=2).reshape(K * G, 3)
+    return lo, hi
+
+
+def _subtile_bounds_sphere(chunks: ch.SphereChunks, CS: int):
+    K, C = chunks.mat.shape
+    G = C // CS
+    act = chunks.active[..., None].astype(bool)
+    rad = jnp.where(chunks.active.astype(bool), chunks.rad, 0.0)[..., None]
+    lane_lo = jnp.where(act, jnp.minimum(chunks.c0, chunks.c1) - rad, INF)
+    lane_hi = jnp.where(act, jnp.maximum(chunks.c0, chunks.c1) + rad, -INF)
+    lo = lane_lo.reshape(K, G, CS, 3).min(axis=2).reshape(K * G, 3)
+    hi = lane_hi.reshape(K, G, CS, 3).max(axis=2).reshape(K * G, 3)
+    return lo, hi
+
+
+def _table_sub(table, K: int, F: int, C: int, CS: int):
+    """[K, F*C] fused rows -> [K*G, F*CS] sub-tile rows (G = C/CS)."""
+    G = C // CS
+    return (table.reshape(K, F, G, CS).transpose(0, 2, 1, 3)
+            .reshape(K * G, F * CS))
+
+
+def _gather_pack(table_sub, ids_p, F: int, CS: int):
+    """Gather P sub-rows per ray and repack components contiguously:
+    [R,P] ids -> [R, F*(P*CS)] row whose component i is the concatenation
+    of the P sub-tiles' component i (the exact layout _planar_row_ts /
+    _sphere_row_ts expect at C = P*CS)."""
+    R, P = ids_p.shape
+    rows = table_sub[ids_p]                                # [R, P, F*CS]
+    return (rows.reshape(R, P, F, CS).transpose(0, 2, 1, 3)
+            .reshape(R, F * P * CS))
+
+
+def _winner_pid(ids_p, idx, CS: int):
+    """Global pid of the winning lane: sub-tile j = idx // CS holds lanes
+    [id*CS, id*CS+CS)."""
+    P = ids_p.shape[1]
+    sub_j = idx // CS
+    sid = jnp.sum(tbl.onehot(sub_j, P) * ids_p.astype(jnp.float32),
+                  axis=-1).astype(jnp.int32)
+    return sid * CS + idx % CS
+
+
+def _planar_sweep_sub(org, dirs, table_sub, CS, KG, ids, nears, tmin,
+                      triangle, best):
+    """_planar_sweep at sub-tile granularity: each iteration consumes P
+    selected sub-tiles packed into one 128-lane test."""
+    V = ids.shape[1]
+    P = max(1, 128 // CS)
+    CP = P * CS
+    ids = jnp.clip(ids, 0, KG - 1)
+
+    def cond(state):
+        s = state[0]
+        t_best = state[1]
+        ns = jax.lax.dynamic_slice_in_dim(nears, s, 1, axis=1)[:, 0]
+        return (s < V) & jnp.any(ns < t_best)
+
+    def body(state):
+        s, t_best, n_b, u_b, v_b, m_b, p_b = state
+        ids_p = jax.lax.dynamic_slice_in_dim(ids, s, P, axis=1)  # [R,P]
+        row = _gather_pack(table_sub, ids_p, 9, CS)              # [R,9*CP]
+        ts, a, b, (unx, uny, unz) = _planar_row_ts(
+            org, dirs, row, CP, tmin, t_best, triangle)
+        t_c = jnp.min(ts, axis=-1)
+        idx = jnp.argmin(ts, axis=-1)
+        oh = tbl.onehot(idx, CP)
+        better = t_c < t_best
+        sel = lambda comp: jnp.sum(oh * comp, axis=-1)
+        n_c = jnp.stack([sel(unx), sel(uny), sel(unz)], axis=-1)
+        return (s + P,
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], n_c, n_b),
+                jnp.where(better, sel(a), u_b),
+                jnp.where(better, sel(b), v_b),
+                m_b,
+                jnp.where(better, _winner_pid(ids_p, idx, CS), p_b))
+
+    state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
+    return state[1:]
+
+
+def _sphere_sweep_sub(org, dirs, time, table_sub, CS, KG, ids, nears, tmin,
+                      best):
+    V = ids.shape[1]
+    P = max(1, 128 // CS)
+    CP = P * CS
+    ids = jnp.clip(ids, 0, KG - 1)
+
+    def cond(state):
+        s, t_best = state[0], state[1]
+        ns = jax.lax.dynamic_slice_in_dim(nears, s, 1, axis=1)[:, 0]
+        return (s < V) & jnp.any(ns < t_best)
+
+    def body(state):
+        s, t_best, ctr_b, rad_b, m_b, p_b = state
+        ids_p = jax.lax.dynamic_slice_in_dim(ids, s, P, axis=1)
+        row = _gather_pack(table_sub, ids_p, 7, CS)
+        ts, (ctx, cty, ctz), rad = _sphere_row_ts(
+            org, dirs, time, row, CP, tmin, t_best)
+        t_c = jnp.min(ts, axis=-1)
+        idx = jnp.argmin(ts, axis=-1)
+        oh = tbl.onehot(idx, CP)
+        better = t_c < t_best
+        sel = lambda comp: jnp.sum(oh * comp, axis=-1)
+        ctr_c = jnp.stack([sel(ctx), sel(cty), sel(ctz)], axis=-1)
+        return (s + P,
+                jnp.where(better, t_c, t_best),
+                jnp.where(better[:, None], ctr_c, ctr_b),
+                jnp.where(better, jnp.maximum(sel(rad), 1e-20), rad_b),
+                m_b,
+                jnp.where(better, _winner_pid(ids_p, idx, CS), p_b))
+
+    state = jax.lax.while_loop(cond, body, (jnp.int32(0),) + best)
+    return state[1:]
+
+
+def _run_select_loop(org, dirs, cap, lo, hi, tmin, V, sweep, best0):
+    """Shared select/sweep driver: the fused Pallas phase loop on TPU, the
+    [R,K] near-matrix while_loop otherwise (boxes = whatever granularity
+    the caller passes)."""
+    if _use_pallas_select(tmin):
+        return _pallas_phase_loop(org, dirs, cap, lo, hi, tmin, V, sweep,
+                                  best0)
+    nr = _near_matrix(org, dirs, lo, hi, tmin, cap)
+
+    def cond(state):
+        nr, best = state[0], state[1:]
+        return jnp.any(jnp.min(nr, axis=1) < best[0])
+
+    def body(state):
+        nr, best = state[0], state[1:]
+        ids, nears, nr = _select_block(nr, V)
+        best = sweep(ids, nears, best)
+        return (nr,) + best
+
+    return jax.lax.while_loop(cond, body, (nr,) + best0)[1:]
+
+
+def _planar_closest_subtile(org, dirs, chunks, tmin, triangle, cap):
+    R = org.shape[0]
+    f32 = org.dtype
+    K, C = chunks.mat.shape
+    CS = min(_subtile_c(), C)
+    KG = K * (C // CS)
+    P = max(1, 128 // CS)
+    V = min(-(-_visit_block_sub() // P) * P, -(-KG // P) * P)
+    lo, hi = _subtile_bounds_planar(chunks, CS)
+    table_sub = _table_sub(_planar_table(chunks), K, 9, C, CS)
+
+    t_init = cap
+    best0 = (t_init, jnp.zeros((R, 3), f32), jnp.zeros((R,), f32),
+             jnp.zeros((R,), f32), jnp.zeros((R,), jnp.int32),
+             jnp.zeros((R,), jnp.int32))
+    sweep = lambda ids, nears, best: _planar_sweep_sub(
+        org, dirs, table_sub, CS, KG, ids, nears, tmin, triangle, best)
+    t, n, u, v, m, p = _run_select_loop(org, dirs, cap, lo, hi, tmin, V,
+                                        sweep, best0)
+    return jnp.where(t < t_init, t, INF), (
+        n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
+
+
+def _sphere_closest_subtile(org, dirs, time, chunks, tmin, cap):
+    R = org.shape[0]
+    f32 = org.dtype
+    K, C = chunks.mat.shape
+    CS = min(_subtile_c(), C)
+    KG = K * (C // CS)
+    P = max(1, 128 // CS)
+    V = min(-(-_visit_block_sub() // P) * P, -(-KG // P) * P)
+    lo, hi = _subtile_bounds_sphere(chunks, CS)
+    table_sub = _table_sub(_sphere_table(chunks), K, 7, C, CS)
+
+    t_init = cap
+    best0 = (t_init, jnp.zeros((R, 3), f32), jnp.ones((R,), f32),
+             jnp.zeros((R,), jnp.int32), jnp.zeros((R,), jnp.int32))
+    sweep = lambda ids, nears, best: _sphere_sweep_sub(
+        org, dirs, time, table_sub, CS, KG, ids, nears, tmin, best)
+    t, ctr, rad, m, p = _run_select_loop(org, dirs, cap, lo, hi, tmin, V,
+                                         sweep, best0)
+    return jnp.where(t < t_init, t, INF), (
+        ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
 
 
 # ------------------------------- quantized-row sweep (opt-in, CRT_SWEEP_Q16)

@@ -198,3 +198,39 @@ def _sphere_chunks_for_miss():
     chunks = b.build().sphere_chunks
     assert int(np.asarray(chunks.mat)[0, 0]) != 0
     return chunks
+
+
+@pytest.mark.parametrize("CS", [32, 64])
+def test_subtile_planar_matches_chunked(tri_scene, CS, monkeypatch):
+    """Sub-tile selection (CRT_SUBTILE, finer traversal altitude) returns
+    the chunk-scan oracle's hits exactly — same contract as the chunk-
+    granular per-ray path, any CS."""
+    monkeypatch.setenv("CRT_SUBTILE", "1")
+    monkeypatch.setenv("CRT_SUBC", str(CS))
+    monkeypatch.setenv("CRT_RAYV_SUB", "8")  # force many exactness phases
+    _check_planar(tri_scene, 8, monkeypatch)
+
+
+def test_subtile_planar_tmax_and_caps(tri_scene, monkeypatch):
+    monkeypatch.setenv("CRT_SUBTILE", "1")
+    _check_planar(tri_scene, 8, monkeypatch, tmax=4.0)
+
+
+def test_subtile_sphere_matches_chunked(sphere_scene, monkeypatch):
+    monkeypatch.setenv("CRT_SUBTILE", "1")
+    monkeypatch.setenv("CRT_RAYV_SUB", "8")
+    rng = np.random.default_rng(21)
+    org, dirs = _rand_rays(rng, 512)
+    time = jnp.zeros((512,), jnp.float32)
+    t_c, (ctr_c, rad_c, m_c, p_c) = chunked.sphere_closest(
+        org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
+    t_r, (ctr_r, rad_r, m_r, p_r) = perray.sphere_closest_perray(
+        org, dirs, time, sphere_scene.sphere_chunks, 1e-3)
+    hit_c = np.isfinite(np.asarray(t_c))
+    hit_r = np.isfinite(np.asarray(t_r))
+    np.testing.assert_array_equal(hit_c, hit_r)
+    assert hit_c.sum() > 50
+    np.testing.assert_allclose(np.asarray(t_r)[hit_r], np.asarray(t_c)[hit_c],
+                               rtol=5e-4)
+    np.testing.assert_array_equal(np.asarray(m_r)[hit_r],
+                                  np.asarray(m_c)[hit_c])
