@@ -230,7 +230,12 @@ def test_subtile_sphere_matches_chunked(sphere_scene, monkeypatch):
     hit_r = np.isfinite(np.asarray(t_r))
     np.testing.assert_array_equal(hit_c, hit_r)
     assert hit_c.sum() > 50
+    # winner pid equality is the strong check; t gets an atol besides the
+    # oracle rtol because near-origin hits (t ~ 5e-2) carry f32 quadratic
+    # cancellation noise ~2e-4 in BOTH paths
+    np.testing.assert_array_equal(np.asarray(p_r)[hit_r],
+                                  np.asarray(p_c)[hit_c])
     np.testing.assert_allclose(np.asarray(t_r)[hit_r], np.asarray(t_c)[hit_c],
-                               rtol=5e-4)
+                               rtol=5e-4, atol=3e-4)
     np.testing.assert_array_equal(np.asarray(m_r)[hit_r],
                                   np.asarray(m_c)[hit_c])
