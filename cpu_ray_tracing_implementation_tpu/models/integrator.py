@@ -126,9 +126,11 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
     miss = alive & ~hit.valid
     radiance = radiance + jnp.where(miss[:, None], throughput * bg, 0.0)
 
-    # emission at the hit (front-face diffuse_light)
+    # emission at the hit (front-face diffuse_light); the material-row
+    # gathers + texture eval are shared with the scatter path (mat_rows)
     lit = alive & hit.valid
-    emit = mat_ops.emitted(scene, hit)
+    pre = mat_ops.mat_rows(scene, hit)
+    emit = mat_ops.emitted(scene, hit, pre=pre)
     if nee:
         emit = emit * emis_w[:, None]
     radiance = radiance + jnp.where(lit[:, None], throughput * emit, 0.0)
@@ -137,7 +139,7 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
     if nee:
         (new_dir, weight, continues, emis_w_next, nee_dir,
          nee_w) = mat_ops.scatter_nee(scene, hit, dirs, u,
-                                      ior_shift=ior_shift)
+                                      ior_shift=ior_shift, pre=pre)
         if scene.has_lights:
             # Shadow ray: radiance arriving from the sampled light direction.
             # Occluders are non-emissive so `emitted` of the nearest hit IS
@@ -158,7 +160,8 @@ def _shade_step(scene, org, dirs, time, throughput, radiance, alive, u,
                 sh_active[:, None], throughput * nee_w * sh_le, 0.0)
     else:
         new_dir, weight, continues = mat_ops.scatter(scene, hit, dirs, u,
-                                                     ior_shift=ior_shift)
+                                                     ior_shift=ior_shift,
+                                                     pre=pre)
     alive = lit & continues
     throughput = jnp.where(alive[:, None], throughput * weight, 0.0)
     if rr_u is not None:

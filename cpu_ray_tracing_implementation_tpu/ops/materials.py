@@ -51,16 +51,29 @@ def _safe_div(num, den, fallback=0.0):
     return jnp.where(ok, num / jnp.where(ok, den, 1.0), fallback)
 
 
-def emitted(scene, hit) -> jnp.ndarray:
-    """Front-face-only emission of diffuse_light (src/material.h:211-214)."""
-    if scene.mat_types_used and sc.MAT_DIFFUSE_LIGHT not in scene.mat_types_used:
-        return jnp.zeros(hit.p.shape, hit.p.dtype)
+def mat_rows(scene, hit):
+    """(oh, mt, color): the per-hit material gathers + texture eval shared
+    by ``emitted`` and ``_sample_lobes`` — computed ONCE per segment and
+    passed through as ``pre`` so the sharing is structural, not left to
+    XLA CSE (emission color and albedo come from the SAME material texture
+    row, src/material.h:211 vs :62)."""
     n_m = scene.materials.mtype.shape[0]
     oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
     mt = tbl.take_rows(scene.materials.mtype, hit.mat, oh)
     tex_id = tbl.take_rows(scene.materials.tex, hit.mat, oh)
-    is_light = (mt == sc.MAT_DIFFUSE_LIGHT) & hit.front & hit.valid
     color = eval_texture(scene, tex_id, hit.u, hit.v, hit.p)
+    return oh, mt, color
+
+
+def emitted(scene, hit, pre=None) -> jnp.ndarray:
+    """Front-face-only emission of diffuse_light (src/material.h:211-214).
+
+    ``pre``: optional precomputed ``mat_rows`` tuple (shared with the
+    scatter path's albedo gathers)."""
+    if scene.mat_types_used and sc.MAT_DIFFUSE_LIGHT not in scene.mat_types_used:
+        return jnp.zeros(hit.p.shape, hit.p.dtype)
+    _, mt, color = mat_rows(scene, hit) if pre is None else pre
+    is_light = (mt == sc.MAT_DIFFUSE_LIGHT) & hit.front & hit.valid
     return jnp.where(is_light[:, None], color, 0.0)
 
 
@@ -197,7 +210,7 @@ def _sphere_light_pdf_sum(scene, origin: jnp.ndarray,
 
 
 def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
-                  ior_shift=None):
+                  ior_shift=None, pre=None):
     """Shared lobe sampling for ``scatter`` and ``scatter_nee``: the
     kDetermined candidates (metal mirror+fuzz src/material.h:85-92,
     dielectric Schlick reflect/refract src/material.h:113-131, gloss
@@ -218,11 +231,7 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     detached gradient (the parameter only enters a comparison) and ior
     loses its Fresnel-probability component (round-3 VERDICT weak 4)."""
     mats = scene.materials
-    n_m = mats.mtype.shape[0]
-    oh = tbl.onehot(hit.mat, n_m) if n_m <= tbl.MAX_ONEHOT else None
-    mt = tbl.take_rows(mats.mtype, hit.mat, oh)
-    atten = eval_texture(scene, tbl.take_rows(mats.tex, hit.mat, oh),
-                         hit.u, hit.v, hit.p)
+    oh, mt, atten = mat_rows(scene, hit) if pre is None else pre
     n = hit.normal
     unit_d = vm.normalize(ray_dir)
 
@@ -317,7 +326,7 @@ def _sample_lobes(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
 
 def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
-            ior_shift=None):
+            ior_shift=None, pre=None):
     """One scatter decision per lane.
 
     Returns (new_dir [R,3], weight [R,3], continues [R] bool). Lanes whose
@@ -330,7 +339,8 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
     render) keeps the graph free of the dispersion table.
     """
     (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
-     mat_sample, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
+     mat_sample, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift,
+                                          pre=pre)
     n = hit.normal
 
     # --- kRandom lanes: optional dual-pdf light MIS
@@ -357,7 +367,7 @@ def scatter(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
 
 
 def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
-                ior_shift=None):
+                ior_shift=None, pre=None):
     """Split-sample scatter for next-event estimation (camera.nee).
 
     Beyond the reference's one-sample 50/50 mixture (src/pdf.h:48-61): each
@@ -380,7 +390,8 @@ def scatter_nee(scene, hit, ray_dir: jnp.ndarray, u: jnp.ndarray,
         non-emissive, so visibility falls out of ``emitted``).
     """
     (mt, atten, det_dir, det_weight, is_det, is_iso, is_rand,
-     rnd_dir, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift)
+     rnd_dir, score_w) = _sample_lobes(scene, hit, ray_dir, u, ior_shift,
+                                       pre=pre)
     n = hit.normal
 
     # kRandom continuation = the PURE material sample (no light mixing)

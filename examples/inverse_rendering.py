@@ -14,6 +14,10 @@ keeps the light's emission row frozen while a wall row optimizes.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import numpy as np
