@@ -411,9 +411,40 @@ def _lane_uniforms(keys, n: int) -> jnp.ndarray:
     return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
 
 
-@functools.partial(jax.jit, static_argnames=("spp",))
+def wavefront_lanes(scene, L: int) -> int | None:
+    """Auto lane-pool size for the wavefront on this scene (None = L).
+
+    Measured round 5 (v5e, BASELINE.md): on PER-RAY-routed scenes the
+    exactness machinery is batch-coupled — every select phase and sweep
+    slot runs until the WORST ray in the pool is satisfied, so a smaller
+    pool early-exits sooner. Colonnade full workload: pool 40000 -> 8192
+    took 4.90 -> 2.81 s (1.74x). Packet-routed scenes want the full pool
+    (coherent tiles amortize shared chunk loads: sphereflake 2.88 ->
+    5.4 s at pool 5000). Pools <= L keep the image BITWISE identical to
+    pool == L: path ids issue in order, so at most one sample of any
+    pixel is in flight and per-pixel flushes stay in sample order.
+    Override: CRT_WF_LANES=<n|full>."""
+    import os
+
+    from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
+
+    v = os.environ.get("CRT_WF_LANES")
+    if v:
+        return None if v == "full" else min(int(v), L)
+    mode = isect.accel_mode()
+    n_chunks = 0
+    for ch in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks):
+        if ch is not None:
+            n_chunks = max(n_chunks, int(ch.mat.shape[0]))
+    ray_routed = mode == "ray" or (mode == "auto"
+                                   and n_chunks >= isect.RAY_MIN_CHUNKS)
+    return min(8192, L) if ray_routed else None
+
+
+@functools.partial(jax.jit, static_argnames=("spp", "lanes"))
 def render_wavefront(scene, camera, key, spp: int,
-                     pixel_ids: jnp.ndarray | None = None) -> jnp.ndarray:
+                     pixel_ids: jnp.ndarray | None = None,
+                     lanes: int | None = None) -> jnp.ndarray:
     """Path-regeneration wavefront render: radiance SUM [H*W, 3].
 
     ``pixel_ids`` (optional [L] int32 GLOBAL pixel ids): restrict the lane
@@ -455,8 +486,14 @@ def render_wavefront(scene, camera, key, spp: int,
     L = n_pix if pixel_ids is None else pixel_ids.shape[0]
     _gpix = (lambda lane: lane) if pixel_ids is None \
         else (lambda lane: pixel_ids[lane])
-    R = L
     total = L * spp
+    # ``lanes`` (STATIC): pool size, decoupled from L since round 5 —
+    # a bigger pool runs the same total path segments in proportionally
+    # fewer while_loop iterations (fewer fixed per-iteration costs:
+    # select-kernel launches, gather setup, drain tail). Paths are
+    # (pixel, sample)-keyed so the pool size never changes any path's
+    # radiance — only the flush order into the image (allclose).
+    R = L if lanes is None else max(1, min(lanes, total))
     f32 = jnp.float32
     fast = _rng_impl() == "fast"
 
@@ -558,7 +595,7 @@ def render_wavefront(scene, camera, key, spp: int,
          issued, image) = state[:10]
         wl = state[10] if dispersive else None
         emis_w = state[11 if dispersive else 10] if nee else None
-        lane = path_id % L       # local image row
+        lane = path_id % L       # local image row (pool rows may share it)
         pix = _gpix(lane)        # global pixel id (RNG + camera key)
         if use_qmc:
             s = jnp.clip(path_id // L, 0, spp - 1)
@@ -680,7 +717,8 @@ def render_image_wavefront(scene, camera, key, spp: int | None = None,
     spp = camera.spp if spp is None else spp
     n_pix = camera.width * camera.height
     if tile_pixels is None or tile_pixels >= n_pix:
-        accum = render_wavefront(scene, camera, key, spp)
+        accum = render_wavefront(scene, camera, key, spp,
+                                 lanes=wavefront_lanes(scene, n_pix))
         return (accum / spp).reshape(camera.height, camera.width, 3)
     tile = tile_pixels
     out = np.zeros((n_pix, 3), np.float32)
@@ -689,7 +727,8 @@ def render_image_wavefront(scene, camera, key, spp: int | None = None,
         ids = np.arange(start, start + tile, dtype=np.int32)
         ids[n_real:] = 0  # pad rows discarded below
         acc = render_wavefront(scene, camera, key, spp,
-                               pixel_ids=jnp.asarray(ids))
+                               pixel_ids=jnp.asarray(ids),
+                               lanes=wavefront_lanes(scene, tile))
         out[start:start + n_real] = np.asarray(acc)[:n_real]
     return jnp.asarray(out / spp).reshape(camera.height, camera.width, 3)
 

@@ -123,6 +123,8 @@ def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
         pixel_ids = jnp.where(jnp.arange(n_padded) < n_pix,
                               jnp.arange(n_padded), 0).astype(jnp.int32)
 
+        lanes = integrator.wavefront_lanes(scene, n_padded // n_dev)
+
         @functools.partial(
             shard_map, mesh=mesh, check_vma=False,
             in_specs=(P(), P(), P(), P(AXIS)),
@@ -130,7 +132,7 @@ def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
         )
         def shard_render(scene, camera, key, pids):
             return integrator.render_wavefront(scene, camera, key, spp_,
-                                               pixel_ids=pids)
+                                               pixel_ids=pids, lanes=lanes)
 
         flat = shard_render(scene, camera, key, pixel_ids)
         return (flat[:n_pix] / spp_).reshape(camera.height, camera.width, 3)
