@@ -348,11 +348,36 @@ def render_sample(scene, camera, key, pixel_ids, unroll: int = 1,
     return rad
 
 
+def scan_batch_pixels(scene) -> int | None:
+    """Auto pixel-batch size for the classic scan on this scene (None =
+    whole frame at once). Same batch-coupling effect as wavefront_lanes:
+    on PER-RAY-routed scenes the select phases / sweep slots run to the
+    worst ray in the batch, so smaller batches early-exit sooner —
+    colonnade scan measured 0.97 -> 0.70 s at 8192 (chip, BASELINE.md
+    round 5). Dense and packet-routed scenes keep the full frame.
+    Override: CRT_SCAN_TILE=<n|full>."""
+    import os
+
+    v = os.environ.get("CRT_SCAN_TILE")
+    if v:
+        return None if v == "full" else int(v)
+    mode = isect.accel_mode()
+    n_chunks = 0
+    for ch in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks):
+        if ch is not None:
+            n_chunks = max(n_chunks, int(ch.mat.shape[0]))
+    ray_routed = mode == "ray" or (mode == "auto"
+                                   and n_chunks >= isect.RAY_MIN_CHUNKS)
+    return 8192 if ray_routed else None
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("spp", "unroll", "replay_isect"))
+                   static_argnames=("spp", "unroll", "replay_isect",
+                                    "batch_pixels"))
 def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
                               spp: int, unroll: tuple = (1, 1),
-                              replay_isect: bool = False) -> jnp.ndarray:
+                              replay_isect: bool = False,
+                              batch_pixels: int | None = None) -> jnp.ndarray:
     """Radiance SUM over the sample range for an arbitrary pixel-id
     subset [N,3] — the building block of the full-frame and tiled renders
     (pixel-id keyed RNG makes any pixel partition reproduce the full-frame
@@ -361,36 +386,75 @@ def accumulate_samples_subset(scene, camera, key, pixel_ids, sample_offset,
     ``replay_isect`` (gradient callers): intersection saves one packed
     winner id per lane-bounce (4 bytes) and the remat backward replays
     that single primitive in O(R) instead of recomputing + transposing
-    the O(R*N) sweep — ops/replay.py."""
+    the O(R*N) sweep — ops/replay.py.
+
+    ``batch_pixels`` (STATIC; see scan_batch_pixels): process the pixel
+    set in fixed-size batches INSIDE the jit — one scan over
+    (sample, batch) steps instead of (sample) steps over the whole frame.
+    Pixel-id keyed RNG makes the result bitwise independent of the
+    batching; on per-ray-routed scenes smaller batches cut the
+    worst-ray coupling of the traversal loops. The remat boundary moves
+    to (sample, batch), which only SHRINKS saved residuals."""
     qmc_words = qmc.seed_words(key) if camera.qmc else None
-    # remat per sample: the backward pass recomputes each sample's wavefront
-    # instead of storing spp x depth of [R,...] residuals — the standard
-    # jax.checkpoint FLOPs-for-HBM trade; under replay_isect the winner ids
-    # are the one named residual saved through the remat
+    # remat per sample (per batch-sample under batch_pixels): the backward
+    # recomputes each step instead of storing spp x depth of [R,...]
+    # residuals — the standard jax.checkpoint FLOPs-for-HBM trade; under
+    # replay_isect the winner ids are the one named residual saved through
     policy = _replay_mod().save_isect_policy() if replay_isect else None
+
+    n = pixel_ids.shape[0]
+    if batch_pixels is None or batch_pixels >= n:
+        sample_fn = jax.checkpoint(
+            lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
+                                           unroll=unroll[0], sample_idx=s_abs,
+                                           qmc_words=qmc_words,
+                                           replay_isect=replay_isect),
+            policy=policy)
+
+        def one_sample(accum, s):
+            s_abs = sample_offset + s
+            k = jax.random.fold_in(key, s_abs)
+            return accum + sample_fn(k, s_abs), None
+
+        zero = jnp.zeros((n, 3), jnp.float32)
+        accum, _ = jax.lax.scan(one_sample, zero, jnp.arange(spp),
+                                unroll=unroll[1])
+        return accum
+
+    T = -(-n // batch_pixels)
+    pad = T * batch_pixels - n
+    ids2 = jnp.concatenate(
+        [pixel_ids, jnp.zeros((pad,), pixel_ids.dtype)]).reshape(
+            T, batch_pixels)  # pad rows re-render pixel 0; sliced off below
+
     sample_fn = jax.checkpoint(
-        lambda k, s_abs: render_sample(scene, camera, k, pixel_ids,
-                                       unroll=unroll[0], sample_idx=s_abs,
-                                       qmc_words=qmc_words,
-                                       replay_isect=replay_isect),
+        lambda k, s_abs, ids: render_sample(scene, camera, k, ids,
+                                            unroll=unroll[0],
+                                            sample_idx=s_abs,
+                                            qmc_words=qmc_words,
+                                            replay_isect=replay_isect),
         policy=policy)
 
-    def one_sample(accum, s):
+    def one_step(accum, st):
+        s, t = st
         s_abs = sample_offset + s
         k = jax.random.fold_in(key, s_abs)
-        return accum + sample_fn(k, s_abs), None
+        ids = ids2[t]
+        return accum.at[t].add(sample_fn(k, s_abs, ids)), None
 
-    zero = jnp.zeros((pixel_ids.shape[0], 3), jnp.float32)
-    accum, _ = jax.lax.scan(one_sample, zero, jnp.arange(spp),
-                            unroll=unroll[1])
-    return accum
+    steps = (jnp.repeat(jnp.arange(spp), T), jnp.tile(jnp.arange(T), spp))
+    zero = jnp.zeros((T, batch_pixels, 3), jnp.float32)
+    accum, _ = jax.lax.scan(one_step, zero, steps, unroll=unroll[1])
+    return accum.reshape(T * batch_pixels, 3)[:n]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spp", "unroll", "replay_isect"))
+                   static_argnames=("spp", "unroll", "replay_isect",
+                                    "batch_pixels"))
 def accumulate_samples(scene, camera, key, sample_offset, spp: int,
                        unroll: tuple = (1, 1),
-                       replay_isect: bool = False) -> jnp.ndarray:
+                       replay_isect: bool = False,
+                       batch_pixels: int | None = None) -> jnp.ndarray:
     """Radiance SUM over samples [sample_offset, sample_offset+spp) for all
     pixels, flat [H*W, 3]. Sample index (not position in this batch) keys the
     RNG, so any partition of the sample range — across checkpoint chunks or
@@ -403,7 +467,8 @@ def accumulate_samples(scene, camera, key, sample_offset, spp: int,
     pixel_ids = jnp.arange(n_pix, dtype=jnp.int32)
     return accumulate_samples_subset(scene, camera, key, pixel_ids,
                                      sample_offset, spp, unroll=unroll,
-                                     replay_isect=replay_isect)
+                                     replay_isect=replay_isect,
+                                     batch_pixels=batch_pixels)
 
 
 def _lane_uniforms(keys, n: int) -> jnp.ndarray:
@@ -749,7 +814,8 @@ def render_image(scene, camera, key, spp: int | None = None,
     spp = camera.spp if spp is None else spp
     unroll = _default_unroll() if unroll is None else unroll
     accum = accumulate_samples(scene, camera, key, 0, spp, unroll=unroll,
-                               replay_isect=replay_isect)
+                               replay_isect=replay_isect,
+                               batch_pixels=scan_batch_pixels(scene))
     return (accum / spp).reshape(camera.height, camera.width, 3)
 
 
