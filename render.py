@@ -1,4 +1,4 @@
-"""CLI driver: render any of the 22 catalog scenes.
+"""CLI driver: render any of the catalog scenes (22 reference + extensions).
 
 Replaces the reference's interactive stdin menu (src/main.cc:633-686) with
 argparse flags (the config system the reference README promises but never
