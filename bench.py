@@ -32,6 +32,7 @@ overcounts.
 """
 
 import json
+import os
 import statistics
 import time
 
@@ -155,6 +156,37 @@ def main():
     fwd_matched = 600 * 600 / per_sample
     fwd_matched_med = 600 * 600 / max(per_sample_med, 1e-12)
 
+    # secondary metrics: the reference's own large-scene workloads, both
+    # head-to-head-measured against the reference binary on identical
+    # geometry in round 5 (BASELINE.md: colonnade 700.1 s reference CPU,
+    # sphereflake 124.3 s by its own chrono). Guarded: the headline must
+    # print even if these renders fail; CRT_BENCH_FAST=1 skips them.
+    extras = {}
+    if os.environ.get("CRT_BENCH_FAST") != "1":
+        try:
+            # 258k-tri colonnade (unfiltered; the reference rendered the
+            # 254k filtered export in 700.1 s — our render of the STRICTLY
+            # LARGER set makes the ratio conservative)
+            sc, cc = catalog.sponza()
+            run = lambda: np.asarray(
+                integrator.render_image_wavefront(sc, cc, jax.random.key(0)))
+            run()
+            t0 = time.time(); run()
+            extras["colonnade_258k_tri_200px_30spp_s"] = round(
+                time.time() - t0, 2)
+            extras["colonnade_vs_reference_cpu"] = round(
+                700.1 / extras["colonnade_258k_tri_200px_30spp_s"], 1)
+            sf, cf = catalog.sphereflake()   # the scene the reference times
+            run2 = lambda: np.asarray(
+                integrator.render_image_wavefront(sf, cf, jax.random.key(0)))
+            run2()
+            t0 = time.time(); run2()
+            extras["sphereflake_400px_50spp_s"] = round(time.time() - t0, 2)
+            extras["sphereflake_vs_reference_cpu"] = round(
+                124.3 / extras["sphereflake_400px_50spp_s"], 1)
+        except Exception as e:  # noqa: BLE001
+            extras["large_scene_bench_error"] = str(e)[:200]
+
     print(json.dumps({
         "metric": "cornell_512x512_256spp_d8_fwd_bwd_camera_rays_per_s",
         "value": round(headline),
@@ -167,6 +199,7 @@ def main():
         },
         "with_geometry_grads_rays_per_s": round(geo_rays),
         **roof,
+        **extras,
     }))
 
 
