@@ -273,7 +273,8 @@ def render_loss_and_grad_sharded(scene, camera, key, target, mesh: Mesh,
                 s = diff.apply_scene_params(scene, sp)
                 c = diff.apply_camera_params(camera, cp)
                 accum = integrator.accumulate_samples_subset(
-                    s, c, key, pids, 0, spp_, replay_isect=rep)
+                    s, c, key, pids, 0, spp_, replay_isect=rep,
+                    batch_pixels=integrator.scan_batch_pixels(scene))
                 img = accum / spp_
                 sq = jnp.sum((img - tgt) ** 2, axis=-1) * vmask
                 return jnp.sum(sq)
@@ -336,7 +337,8 @@ def render_loss_and_grad_sharded_2d(scene, camera, key, target, mesh: Mesh,
                 s = diff.apply_scene_params(scene, sp)
                 c = diff.apply_camera_params(camera, cp)
                 accum = integrator.accumulate_samples_subset(
-                    s, c, key, pids, base[0], per_dev_, replay_isect=rep)
+                    s, c, key, pids, base[0], per_dev_, replay_isect=rep,
+                    batch_pixels=integrator.scan_batch_pixels(scene))
                 img = jax.lax.psum(accum, SAMP_AXIS) / (per_dev_ * n_samp)
                 sq = jnp.sum((img - tgt) ** 2, axis=-1) * vmask
                 # the samp axis replicates this tile loss; divide it back out

@@ -88,8 +88,10 @@ def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
     while done < spp:
         n = min(chunk_spp, spp - done)
         t0 = time.time()
-        part = integrator.accumulate_samples(scene, camera, key, done, n,
-                                             unroll=integrator._default_unroll())
+        part = integrator.accumulate_samples(
+            scene, camera, key, done, n,
+            unroll=integrator._default_unroll(),
+            batch_pixels=integrator.scan_batch_pixels(scene))
         part = np.asarray(part)
         dt = time.time() - t0
         accum = accum + part
