@@ -361,14 +361,7 @@ def scan_batch_pixels(scene) -> int | None:
     v = os.environ.get("CRT_SCAN_TILE")
     if v:
         return None if v == "full" else int(v)
-    mode = isect.accel_mode()
-    n_chunks = 0
-    for ch in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks):
-        if ch is not None:
-            n_chunks = max(n_chunks, int(ch.mat.shape[0]))
-    ray_routed = mode == "ray" or (mode == "auto"
-                                   and n_chunks >= isect.RAY_MIN_CHUNKS)
-    return 8192 if ray_routed else None
+    return 8192 if _perray_routed(scene) else None
 
 
 @functools.partial(jax.jit,
@@ -476,6 +469,19 @@ def _lane_uniforms(keys, n: int) -> jnp.ndarray:
     return jax.vmap(lambda k: jax.random.uniform(k, (n,)))(keys)
 
 
+def _perray_routed(scene) -> bool:
+    """True when intersect_brute routes this scene to the per-ray
+    visit-list accelerator (ops/perray.py) — the batch-coupled path the
+    round-5 pool/batch sizing targets."""
+    mode = isect.accel_mode()
+    n_chunks = 0
+    for ch in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks):
+        if ch is not None:
+            n_chunks = max(n_chunks, int(ch.mat.shape[0]))
+    return mode == "ray" or (mode == "auto"
+                             and n_chunks >= isect.RAY_MIN_CHUNKS)
+
+
 def wavefront_lanes(scene, L: int) -> int | None:
     """Auto lane-pool size for the wavefront on this scene (None = L).
 
@@ -491,19 +497,10 @@ def wavefront_lanes(scene, L: int) -> int | None:
     Override: CRT_WF_LANES=<n|full>."""
     import os
 
-    from cpu_ray_tracing_implementation_tpu.ops import intersect as isect
-
     v = os.environ.get("CRT_WF_LANES")
     if v:
         return None if v == "full" else min(int(v), L)
-    mode = isect.accel_mode()
-    n_chunks = 0
-    for ch in (scene.sphere_chunks, scene.quad_chunks, scene.tri_chunks):
-        if ch is not None:
-            n_chunks = max(n_chunks, int(ch.mat.shape[0]))
-    ray_routed = mode == "ray" or (mode == "auto"
-                                   and n_chunks >= isect.RAY_MIN_CHUNKS)
-    return min(8192, L) if ray_routed else None
+    return min(8192, L) if _perray_routed(scene) else None
 
 
 @functools.partial(jax.jit, static_argnames=("spp", "lanes"))

@@ -348,29 +348,10 @@ def planar_closest_perray(org, dirs, chunks: ch.PlanarChunks, tmin,
         org, dirs, table, C, jnp.clip(ids, 0, K - 1), nears, tmin,
         triangle, best)
 
-    if _use_pallas_select(tmin):
-        if _use_pallas_sweep():
-            sweep = _planar_sweep_pallas(org, dirs, table, K, C, tmin,
-                                         triangle)
-        t, n, u, v, m, p = _pallas_phase_loop(
-            org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
-        return jnp.where(t < t_init, t, INF), (
-            n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
-
-    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
-
-    def cond(state):
-        nr, best = state[0], state[1:]
-        return jnp.any(jnp.min(nr, axis=1) < best[0])
-
-    def body(state):
-        nr, best = state[0], state[1:]
-        ids, nears, nr = _select_block(nr, V)
-        best = sweep(ids, nears, best)
-        return (nr,) + best
-
-    out = jax.lax.while_loop(cond, body, (nr,) + best0)
-    t, n, u, v, m, p = out[1:]
+    if _use_pallas_select(tmin) and _use_pallas_sweep():
+        sweep = _planar_sweep_pallas(org, dirs, table, K, C, tmin, triangle)
+    t, n, u, v, m, p = _run_select_loop(org, dirs, cap, chunks.lo,
+                                        chunks.hi, tmin, V, sweep, best0)
     return jnp.where(t < t_init, t, INF), (
         n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
 
@@ -470,28 +451,10 @@ def sphere_closest_perray(org, dirs, time, chunks: ch.SphereChunks, tmin,
         org, dirs, time, table, C, jnp.clip(ids, 0, K - 1), nears, tmin,
         best)
 
-    if _use_pallas_select(tmin):
-        if _use_pallas_sweep():
-            sweep = _sphere_sweep_pallas(org, dirs, time, table, K, C, tmin)
-        t, ctr, rad, m, p = _pallas_phase_loop(
-            org, dirs, cap, chunks.lo, chunks.hi, tmin, V, sweep, best0)
-        return jnp.where(t < t_init, t, INF), (
-            ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
-
-    nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
-
-    def cond(state):
-        nr, best = state[0], state[1:]
-        return jnp.any(jnp.min(nr, axis=1) < best[0])
-
-    def body(state):
-        nr, best = state[0], state[1:]
-        ids, nears, nr = _select_block(nr, V)
-        best = sweep(ids, nears, best)
-        return (nr,) + best
-
-    out = jax.lax.while_loop(cond, body, (nr,) + best0)
-    t, ctr, rad, m, p = out[1:]
+    if _use_pallas_select(tmin) and _use_pallas_sweep():
+        sweep = _sphere_sweep_pallas(org, dirs, time, table, K, C, tmin)
+    t, ctr, rad, m, p = _run_select_loop(org, dirs, cap, chunks.lo,
+                                         chunks.hi, tmin, V, sweep, best0)
     return jnp.where(t < t_init, t, INF), (
         ctr, rad, _recover_mat(chunks.mat, p, t < t_init), p)
 
@@ -923,24 +886,8 @@ def _planar_closest_q16(org, dirs, chunks, tmin, triangle, cap, V, K, C):
         org, dirs, tableq, lo, scale, C, jnp.clip(ids, 0, K - 1), nears,
         tmin, triangle, best)
 
-    if _use_pallas_select(tmin):
-        out = _pallas_phase_loop(org, dirs, cap, chunks.lo, chunks.hi,
-                                 tmin, V, sweep, best0)
-    else:
-        nr = _near_matrix(org, dirs, chunks.lo, chunks.hi, tmin, cap)
-
-        def cond(state):
-            nr, best = state[0], state[1:]
-            return jnp.any(jnp.min(nr, axis=1) < best[0])
-
-        def body(state):
-            nr, best = state[0], state[1:]
-            ids, nears, nr = _select_block(nr, V)
-            best = sweep(ids, nears, best)
-            return (nr,) + best
-
-        out = jax.lax.while_loop(cond, body, (nr,) + best0)[1:]
-
+    out = _run_select_loop(org, dirs, cap, chunks.lo, chunks.hi, tmin, V,
+                           sweep, best0)
     t, n, u, v, m, p = out
     return jnp.where(t < t_init, t, INF), (
         n, u, v, _recover_mat(chunks.mat, p, t < t_init), p)
