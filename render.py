@@ -72,12 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "instead of pixels*spp*max_depth (forward-only; "
                         "per-path radiance bitwise-equal to the classic "
                         "scan, image allclose). Default 'auto' uses it for "
-                        "chunked/accelerated scenes, where traversal "
-                        "dominates and dead lanes are expensive (measured "
-                        "v5e: colonnade 1.29x, sphereflake 1.46x faster; "
-                        "dense Cornell-d8 0.18x SLOWER — refill bookkeeping "
-                        "swamps the cheap dense intersect, so dense scenes "
-                        "keep the unrolled scan)")
+                        "chunked/accelerated scenes with an auto-sized "
+                        "lane pool (measured v5e round 5: colonnade full "
+                        "workload 2.85 s vs 4.9 s at one-lane-per-pixel "
+                        "and ~9 s on the scan); dense scenes keep the "
+                        "unrolled scan, which is 5x faster there — refill "
+                        "bookkeeping swamps the cheap dense intersect)")
     p.add_argument("--clamp", type=float, default=None, metavar="C",
                    help="firefly clamp: per-sample radiance min'd against C "
                         "per channel (variance/bias trade; off by default)")

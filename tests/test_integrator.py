@@ -207,3 +207,35 @@ def test_render_image_gradient_flows_to_albedo():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0
+
+
+def test_batch_coupling_heuristics(monkeypatch):
+    """wavefront_lanes / scan_batch_pixels route by accelerator: small
+    pools ONLY on per-ray-routed scenes (the batch-coupled traversal,
+    BASELINE.md round 5); dense and packet scenes keep the full batch.
+    Env overrides win."""
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+    from cpu_ray_tracing_implementation_tpu.models import integrator as integ
+
+    dense, _ = catalog.cornell_box(width=8, spp=1)
+    chunked, _ = catalog.sponza(width=8, spp=1)
+
+    monkeypatch.delenv("CRT_WF_LANES", raising=False)
+    monkeypatch.delenv("CRT_SCAN_TILE", raising=False)
+    monkeypatch.setenv("CRT_ACCEL", "auto")
+    assert integ.wavefront_lanes(dense, 64) is None
+    assert integ.scan_batch_pixels(dense) is None
+    # small sponza is below the auto perray threshold -> packet -> full pool
+    assert integ.wavefront_lanes(chunked, 64000) is None
+
+    monkeypatch.setenv("CRT_ACCEL", "ray")
+    assert integ.wavefront_lanes(chunked, 64000) == 8192
+    assert integ.wavefront_lanes(chunked, 4000) == 4000  # pool <= L
+    assert integ.scan_batch_pixels(chunked) == 8192
+
+    monkeypatch.setenv("CRT_WF_LANES", "123")
+    assert integ.wavefront_lanes(chunked, 64000) == 123
+    monkeypatch.setenv("CRT_WF_LANES", "full")
+    assert integ.wavefront_lanes(chunked, 64000) is None
+    monkeypatch.setenv("CRT_SCAN_TILE", "456")
+    assert integ.scan_batch_pixels(chunked) == 456
