@@ -248,3 +248,28 @@ def test_scan_sharded_chunked_matches_single_chip(mesh, small_colonnade,
     sh = np.asarray(pm.render_image_sharded(scene, cam, jax.random.key(0),
                                             mesh))
     np.testing.assert_allclose(ref, sh, atol=1e-5)
+
+
+def test_grad_step_matches_single_chip_chunked_geometry(mesh,
+                                                        small_colonnade,
+                                                        monkeypatch):
+    """Sharded full-parameter gradients on a CHUNKED scene: the round-5
+    geometry path (dense tables -> in-graph rechunk -> winner-replay
+    VJP -> scatter-add) must agree with the single-chip step under
+    shard_map, with the triangle-vertex family asserted live first."""
+    from cpu_ray_tracing_implementation_tpu.models import diff
+
+    monkeypatch.setenv("CRT_ACCEL", "ray")
+    scene, cam = small_colonnade
+    target = jnp.zeros((cam.height, cam.width, 3))
+    key = jax.random.key(3)
+    loss_1, (gs_1, gc_1) = diff.loss_and_grads(scene, cam, key, target,
+                                               spp=2)
+    assert np.abs(np.asarray(gs_1["geo_tri_v0"])).max() > 0, \
+        "tri vertex grads vacuously zero"
+    loss_sh, (gs_sh, gc_sh) = pm.render_loss_and_grad_sharded(
+        scene, cam, key, target, mesh, spp=2)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+    for k in gs_1:
+        np.testing.assert_allclose(np.asarray(gs_sh[k]), np.asarray(gs_1[k]),
+                                   rtol=2e-4, atol=1e-7, err_msg=k)
