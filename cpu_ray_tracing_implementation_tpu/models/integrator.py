@@ -503,11 +503,18 @@ def wavefront_lanes(scene, L: int) -> int | None:
     return min(8192, L) if _perray_routed(scene) else None
 
 
-@functools.partial(jax.jit, static_argnames=("spp", "lanes"))
+@functools.partial(jax.jit,
+                   static_argnames=("spp", "lanes", "sample_offset"))
 def render_wavefront(scene, camera, key, spp: int,
                      pixel_ids: jnp.ndarray | None = None,
-                     lanes: int | None = None) -> jnp.ndarray:
+                     lanes: int | None = None,
+                     sample_offset: int = 0) -> jnp.ndarray:
     """Path-regeneration wavefront render: radiance SUM [H*W, 3].
+
+    ``sample_offset`` (STATIC): render samples [offset, offset + spp) —
+    the same absolute-sample-index RNG keying as accumulate_samples, so
+    spp-chunked accumulation (utils/checkpoint.py) through the wavefront
+    sums to the identical sample set as one uninterrupted render.
 
     ``pixel_ids`` (optional [L] int32 GLOBAL pixel ids): restrict the lane
     pool to an arbitrary pixel subset — the sum comes back [L, 3] in subset
@@ -574,7 +581,8 @@ def render_wavefront(scene, camera, key, spp: int,
                     jnp.arange(max_depth))
             return cam_w, path_w
 
-        cam_words, path_words = jax.vmap(_sample_words)(jnp.arange(spp))
+        cam_words, path_words = jax.vmap(_sample_words)(
+            sample_offset + jnp.arange(spp))
 
     use_qmc = camera.qmc
     if use_qmc:
@@ -592,7 +600,7 @@ def render_wavefront(scene, camera, key, spp: int,
                 jax.random.fold_in(k_rr, b), (2,), jnp.uint32))(
                     jnp.arange(max_depth))
 
-        rr_words = jax.vmap(_rr_words)(jnp.arange(spp))
+        rr_words = jax.vmap(_rr_words)(sample_offset + jnp.arange(spp))
 
     dispersive = scene.has_dispersion
     if dispersive and fast:
@@ -600,7 +608,7 @@ def render_wavefront(scene, camera, key, spp: int,
         # draws from fold_in(fold_in(key, s), 0x5ec7) per sample
         wl_words = jax.vmap(lambda s: jax.random.bits(
             jax.random.fold_in(jax.random.fold_in(key, s), 0x5ec7),
-            (2,), jnp.uint32))(jnp.arange(spp))
+            (2,), jnp.uint32))(sample_offset + jnp.arange(spp))
 
     def spawn_wavelength(path_id):
         """Per-lane hero wavelength, bitwise the classic render_sample
@@ -611,7 +619,8 @@ def render_wavefront(scene, camera, key, spp: int,
             u_wl = fastrng.uniforms(wl_words[s, 0], wl_words[s, 1],
                                     pix, 1)[:, 0]
         else:
-            ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, s)
+            ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+                key, sample_offset + s)
             kw = jax.vmap(jax.random.fold_in, in_axes=(0, None))(ks, 0x5ec7)
             u_wl = _lane_uniforms(jax.vmap(jax.random.fold_in)(kw, pix),
                                   1)[:, 0]
@@ -620,7 +629,7 @@ def render_wavefront(scene, camera, key, spp: int,
 
     def path_keys(path_id):
         """(k_cam, k_path) of a path's sample, per lane (threefry impl)."""
-        sample = path_id // L
+        sample = sample_offset + path_id // L
         ks = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(key, sample)
         pair = jax.vmap(lambda k: jax.random.split(k))(ks)
         return pair[:, 0], pair[:, 1]
@@ -630,7 +639,7 @@ def render_wavefront(scene, camera, key, spp: int,
         inactive lane)."""
         pix = _gpix(path_id % L)
         if use_qmc:
-            s = jnp.clip(path_id // L, 0, spp - 1)
+            s = sample_offset + jnp.clip(path_id // L, 0, spp - 1)
             u_cam = qmc.uniforms(q_words, pix, s, 0, qmc.CAM_GROUP,
                                  qmc.CAM_DIM)
         elif fast:
@@ -644,8 +653,8 @@ def render_wavefront(scene, camera, key, spp: int,
         if not use_qmc:
             # per-lane absolute sample index == the classic loop's scalar
             # one (Sobol jitter is already stratified; see render_sample)
-            u_cam = cam_mod.stratify_pixel_jitter(camera, u_cam,
-                                                  path_id // L)
+            u_cam = cam_mod.stratify_pixel_jitter(
+                camera, u_cam, sample_offset + path_id // L)
         org, dirs, time = cam_mod.generate_rays(camera, pix, u_cam)
         if scene.world_offset is not None:
             org = org - scene.world_offset[None, :]
@@ -660,7 +669,7 @@ def render_wavefront(scene, camera, key, spp: int,
         lane = path_id % L       # local image row (pool rows may share it)
         pix = _gpix(lane)        # global pixel id (RNG + camera key)
         if use_qmc:
-            s = jnp.clip(path_id // L, 0, spp - 1)
+            s = sample_offset + jnp.clip(path_id // L, 0, spp - 1)
             b = jnp.clip(bounce, 0, max_depth - 1)
             u = qmc.uniforms(q_words, pix, s,
                              qmc.N_CAM_GROUPS + b * qb_ngroups,

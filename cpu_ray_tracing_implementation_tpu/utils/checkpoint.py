@@ -66,15 +66,24 @@ def load(path: str, fingerprint: str):
 
 def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
                            chunk_spp: int = 16, ckpt_path: str | None = None,
-                           log=print):
+                           log=print, use_wavefront: bool = False):
     """Render with periodic checkpointing; resumes from ``ckpt_path``.
 
     Returns the final [H,W,3] image (identical to a single-shot
     ``render_image`` with the same seed/spp).
-    """
+
+    ``use_wavefront``: accumulate each spp chunk through the
+    path-regeneration wavefront (render_wavefront(sample_offset=), the
+    production integrator for chunked scenes) instead of the classic scan.
+    Chunk sums stay deterministic so resume == uninterrupted exactly; the
+    integrator choice is part of the checkpoint fingerprint — a scan-made
+    checkpoint is refused under the wavefront rather than blended (the
+    two agree per path, not bitwise per chunk sum)."""
     spp = camera.spp if spp is None else spp
     key = jax.random.key(seed)
     fp = _fingerprint(scene, camera, seed)
+    if use_wavefront:
+        fp = "wf-" + fp
     n_pix = camera.width * camera.height
 
     accum = np.zeros((n_pix, 3), np.float32)
@@ -85,13 +94,19 @@ def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
             accum, done = state
             log(f"[checkpoint] resuming at {done}/{spp} spp from {ckpt_path}")
 
+    lanes = integrator.wavefront_lanes(scene, n_pix) if use_wavefront else None
     while done < spp:
         n = min(chunk_spp, spp - done)
         t0 = time.time()
-        part = integrator.accumulate_samples(
-            scene, camera, key, done, n,
-            unroll=integrator._default_unroll(),
-            batch_pixels=integrator.scan_batch_pixels(scene))
+        if use_wavefront:
+            part = integrator.render_wavefront(scene, camera, key, n,
+                                               lanes=lanes,
+                                               sample_offset=done)
+        else:
+            part = integrator.accumulate_samples(
+                scene, camera, key, done, n,
+                unroll=integrator._default_unroll(),
+                batch_pixels=integrator.scan_batch_pixels(scene))
         part = np.asarray(part)
         dt = time.time() - t0
         accum = accum + part

@@ -130,10 +130,10 @@ def validate_flags(args) -> str | None:
     compose or error, never silently drop a flag). Returns an error
     message, or None when the combination composes:
 
-    - --checkpoint and --adaptive each own the whole render loop: they
-      reject each other and --wavefront on / --tile-pixels / --sharded
-      (checkpoint accumulates spp chunks through the classic scan;
-      adaptive owns its compaction loop).
+    - --checkpoint composes with --wavefront (each spp chunk renders
+      through the wavefront's sample_offset since round 5) but rejects
+      --adaptive / --tile-pixels / --sharded; --adaptive owns its
+      compaction loop and rejects the others.
     - --wavefront composes with --sharded (per-device wavefronts over
       pixel shards, parallel/mesh.py) and with --tile-pixels (wavefront
       per pixel tile).
@@ -143,7 +143,6 @@ def validate_flags(args) -> str | None:
     wf_on = args.wavefront in ("on", True)
     if args.checkpoint:
         for flag, name in ((args.adaptive is not None, "--adaptive"),
-                           (wf_on, "--wavefront on"),
                            (args.tile_pixels, "--tile-pixels"),
                            (args.sharded, "--sharded")):
             if flag:
@@ -252,12 +251,14 @@ def main(argv=None) -> int:
             print("--sharded: only one device visible; rendering single-chip")
         if args.checkpoint:
             # validate_flags rejected everything checkpoint can't compose
-            # with; wavefront 'auto' falls back to the scan it needs
+            # with; the integrator routing composes (wavefront chunks via
+            # sample_offset on chunked scenes / --wavefront on)
             from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ckpt
 
             img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
                                               chunk_spp=args.chunk_spp,
-                                              ckpt_path=args.checkpoint)
+                                              ckpt_path=args.checkpoint,
+                                              use_wavefront=wavefront)
         elif args.adaptive is not None:
             from cpu_ray_tracing_implementation_tpu.models import adaptive
 

@@ -46,3 +46,49 @@ def test_mismatched_config_refused(tmp_path):
     fp_other = ckpt._fingerprint(other_scene, other_cam, seed=0)
     ckpt.save(path, np.zeros((144, 3), np.float32), 2, fp_other)
     assert ckpt.load(path, ckpt._fingerprint(scene, cam, seed=0)) is None
+
+
+def test_wavefront_checkpoint_resume_identical(tmp_path):
+    """Checkpointed wavefront accumulation (render_wavefront sample_offset,
+    round 5): interrupted + resumed == uninterrupted exactly, and the
+    final image matches the single-shot wavefront render."""
+    import numpy as np
+
+    from cpu_ray_tracing_implementation_tpu.models import catalog, integrator
+    from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ck
+
+    scene, cam = catalog.sphereflake(width=12, spp=6, max_depth=2,
+                                     depth_levels=2)
+    path = str(tmp_path / "wf.ckpt")
+
+    # uninterrupted
+    a = np.asarray(ck.render_with_checkpoint(scene, cam, seed=3, chunk_spp=2,
+                                             ckpt_path=None, log=lambda *_: 0,
+                                             use_wavefront=True))
+    # interrupted after one chunk: run with a log hook that raises
+    calls = []
+
+    def bomb(msg):
+        calls.append(msg)
+        if len(calls) == 1 and "[render]" in msg:
+            raise KeyboardInterrupt
+
+    try:
+        ck.render_with_checkpoint(scene, cam, seed=3, chunk_spp=2,
+                                  ckpt_path=path, log=bomb,
+                                  use_wavefront=True)
+    except KeyboardInterrupt:
+        pass
+    b = np.asarray(ck.render_with_checkpoint(scene, cam, seed=3, chunk_spp=2,
+                                             ckpt_path=path,
+                                             log=lambda *_: 0,
+                                             use_wavefront=True))
+    np.testing.assert_array_equal(a, b)  # resume == uninterrupted, bitwise
+
+    # a scan-made checkpoint must be refused under the wavefront (different
+    # fingerprint), not blended
+    import jax
+
+    full = np.asarray(integrator.render_image_wavefront(scene, cam,
+                                                        jax.random.key(3)))
+    np.testing.assert_allclose(a, full, rtol=1e-5, atol=1e-6)

@@ -105,6 +105,7 @@ def test_flag_combinations_compose_or_error():
     composes = {
         frozenset({"wavefront_on", "tile_pixels"}),  # wavefront per tile
         frozenset({"wavefront_on", "sharded"}),      # sharded wavefront
+        frozenset({"wavefront_on", "checkpoint"}),   # wavefront spp chunks
     }
     for a in flags:
         for b in flags:
@@ -131,7 +132,7 @@ def test_incompatible_flags_exit_with_error(tmp_path):
     with pytest.raises(SystemExit) as e:
         render_mod.main(["cornell_box", "--width", "8", "--spp", "1",
                          "--checkpoint", str(tmp_path / "c.npz"),
-                         "--wavefront", "on",
+                         "--adaptive", "0.05",
                          "-o", str(tmp_path / "x.png")])
     assert e.value.code == 2
 
