@@ -61,6 +61,43 @@ def _accumulate_subset(scene, camera, key, pixel_ids, sample_offset,
     return acc
 
 
+def _accumulate_subset_sharded(scene, camera, key, pixel_ids,
+                               sample_offset, spp: int, mesh):
+    """_accumulate_subset with the pixel-id axis sharded over ``mesh``.
+
+    Pixel-id keyed RNG makes the moments bitwise the single-device ones
+    (the same contract as every other sharded render); rows added to pad
+    the id count to a device multiple re-render pixel 0 and are discarded
+    by the caller's host-side slice."""
+    import functools
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n = pixel_ids.shape[0]
+    n_dev = mesh.devices.size
+    pad = (-n) % n_dev
+    if pad:
+        pixel_ids = jnp.concatenate(
+            [pixel_ids, jnp.zeros((pad,), pixel_ids.dtype)])
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, ids, off, spp_: int):
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(mesh.axis_names[0]), P()),
+            out_specs=(P(mesh.axis_names[0]), P(mesh.axis_names[0])),
+        )
+        def sh(scene, camera, key, pids, off):
+            return _accumulate_subset.__wrapped__(scene, camera, key, pids,
+                                                  off, spp_)
+
+        return sh(scene, camera, key, ids, off)
+
+    return run(scene, camera, key, pixel_ids,
+               jnp.asarray(sample_offset, jnp.int32), spp)
+
+
 def _pad_pow2(ids: np.ndarray) -> np.ndarray:
     """Pad to the next power of two (with id 0; rows past the real length
     are discarded host-side) so jit shapes stay from a log-size family."""
@@ -74,7 +111,7 @@ def _pad_pow2(ids: np.ndarray) -> np.ndarray:
 def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
                           min_spp: int = 8, max_spp: int | None = None,
                           chunk_spp: int = 8, zero_var_spp: int = 32,
-                          return_spp_map: bool = False):
+                          return_spp_map: bool = False, mesh=None):
     """Adaptive render: [H,W,3] image (and optionally the [H,W] per-pixel
     sample-count map).
 
@@ -82,6 +119,10 @@ def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
     mean is below ``rel_tol * (mean + 0.05)`` (the +0.05 keeps near-black
     pixels from demanding unbounded precision). ``rel_tol=0`` disables
     stopping: the result is exactly the uniform ``max_spp`` render.
+
+    ``mesh`` (optional jax.sharding.Mesh): shard each round's unconverged
+    pixel batch over the mesh devices — bitwise the single-device adaptive
+    render (pixel-id keyed RNG), including the per-pixel spp map.
 
     ``zero_var_spp``: a pixel whose samples are ALL ZERO so far has a zero
     confidence interval that proves nothing (a dark indirect-only corner
@@ -102,8 +143,13 @@ def render_image_adaptive(scene, camera, key, *, rel_tol: float = 0.05,
     while done_spp < max_spp and active.size:
         step = int(min(chunk_spp, max_spp - done_spp))
         padded = _pad_pow2(active)
-        s_rgb, s_rgb2 = _accumulate_subset(
-            scene, camera, key, jnp.asarray(padded), done_spp, step)
+        if mesh is not None and mesh.devices.size > 1:
+            s_rgb, s_rgb2 = _accumulate_subset_sharded(
+                scene, camera, key, jnp.asarray(padded), done_spp, step,
+                mesh)
+        else:
+            s_rgb, s_rgb2 = _accumulate_subset(
+                scene, camera, key, jnp.asarray(padded), done_spp, step)
         k = active.size
         sum_rgb[active] += np.asarray(s_rgb)[:k]
         sum_rgb2[active] += np.asarray(s_rgb2)[:k]

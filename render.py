@@ -149,8 +149,7 @@ def validate_flags(args) -> str | None:
                 return f"--checkpoint does not compose with {name}"
     if args.adaptive is not None:
         for flag, name in ((wf_on, "--wavefront on"),
-                           (args.tile_pixels, "--tile-pixels"),
-                           (args.sharded, "--sharded")):
+                           (args.tile_pixels, "--tile-pixels")):
             if flag:
                 return f"--adaptive does not compose with {name}"
     if args.sharded and args.tile_pixels:
@@ -262,9 +261,14 @@ def main(argv=None) -> int:
         elif args.adaptive is not None:
             from cpu_ray_tracing_implementation_tpu.models import adaptive
 
+            amesh = None
+            if sharded:
+                from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+                amesh = pm.make_mesh()
             img, spp_map = adaptive.render_image_adaptive(
                 scene, cam, key, rel_tol=args.adaptive,
-                return_spp_map=True)
+                return_spp_map=True, mesh=amesh)
             print(f"Adaptive spp: mean {spp_map.mean():.1f}, "
                   f"min {spp_map.min()}, max {spp_map.max()} "
                   f"(budget {cam.spp})")

@@ -71,3 +71,24 @@ def test_adaptive_result_consistent_with_converged_render(cornell):
     rel = np.abs(lum_a - lum) / (lum + 0.05)
     # 95% CI at 10% tolerance: the bulk must be within ~3x of it
     assert np.quantile(rel, 0.95) < 0.30, np.quantile(rel, 0.95)
+
+
+def test_adaptive_sharded_matches_single_device():
+    """Sharded adaptive == single-device adaptive BITWISE (image + spp
+    map): each round's unconverged batch shards over the mesh with the
+    same pixel-id keyed streams (round 5, --adaptive --sharded)."""
+    import jax
+    import numpy as np
+
+    from cpu_ray_tracing_implementation_tpu.models import adaptive, catalog
+    from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+    scene, cam = catalog.cornell_box(width=12, spp=32, max_depth=3)
+    key = jax.random.key(5)
+    img1, m1 = adaptive.render_image_adaptive(
+        scene, cam, key, rel_tol=0.2, chunk_spp=8, return_spp_map=True)
+    img2, m2 = adaptive.render_image_adaptive(
+        scene, cam, key, rel_tol=0.2, chunk_spp=8, return_spp_map=True,
+        mesh=pm.make_mesh())
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))

@@ -106,6 +106,7 @@ def test_flag_combinations_compose_or_error():
         frozenset({"wavefront_on", "tile_pixels"}),  # wavefront per tile
         frozenset({"wavefront_on", "sharded"}),      # sharded wavefront
         frozenset({"wavefront_on", "checkpoint"}),   # wavefront spp chunks
+        frozenset({"adaptive", "sharded"}),          # sharded adaptive rounds
     }
     for a in flags:
         for b in flags:
