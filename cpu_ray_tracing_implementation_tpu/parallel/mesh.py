@@ -140,6 +140,70 @@ def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
     return run(scene, camera, key, spp)
 
 
+def accumulate_samples_sharded(scene, camera, key, sample_offset, spp: int,
+                               mesh: Mesh) -> jnp.ndarray:
+    """Radiance SUM [H*W, 3] over samples [offset, offset+spp), pixels
+    sharded over the mesh — BITWISE the single-chip
+    integrator.accumulate_samples (per-pixel streams + per-pixel sample
+    order are shard-invariant). The sharded building block of checkpointed
+    renders (utils/checkpoint.py mesh=)."""
+    n_dev = mesh.devices.size
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_dev)
+
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, off, spp_: int):
+        ids = jnp.where(jnp.arange(n_padded) < n_pix,
+                        jnp.arange(n_padded), 0).astype(jnp.int32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(AXIS), P()),
+            out_specs=P(AXIS),
+        )
+        def sh(scene, camera, key, pids, off):
+            return integrator.accumulate_samples_subset.__wrapped__(
+                scene, camera, key, pids, off, spp_,
+                unroll=integrator._default_unroll(),
+                batch_pixels=integrator.scan_batch_pixels(scene))
+
+        return sh(scene, camera, key, ids, off)[:n_pix]
+
+    return run(scene, camera, key, jnp.asarray(sample_offset, jnp.int32),
+               spp)
+
+
+def accumulate_wavefront_sharded(scene, camera, key, sample_offset,
+                                 spp: int, mesh: Mesh) -> jnp.ndarray:
+    """Radiance SUM [H*W, 3] over samples [offset, offset+spp) through
+    per-device wavefronts (render_wavefront sample_offset) — bitwise the
+    single-chip wavefront sum (pool <= shard size keeps per-pixel flushes
+    sample-ordered). Checkpointed chunked-scene renders over the mesh."""
+    n_dev = mesh.devices.size
+    n_pix = camera.width * camera.height
+    n_padded = _pad_to(n_pix, n_dev)
+    lanes = integrator.wavefront_lanes(scene, n_padded // n_dev)
+
+    @functools.partial(jax.jit, static_argnames=("spp_", "off_"))
+    def run(scene, camera, key, spp_: int, off_: int):
+        ids = jnp.where(jnp.arange(n_padded) < n_pix,
+                        jnp.arange(n_padded), 0).astype(jnp.int32)
+
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(), P(), P(AXIS)),
+            out_specs=P(AXIS),
+        )
+        def sh(scene, camera, key, pids):
+            return integrator.render_wavefront(scene, camera, key, spp_,
+                                               pixel_ids=pids, lanes=lanes,
+                                               sample_offset=off_)
+
+        return sh(scene, camera, key, ids)[:n_pix]
+
+    return run(scene, camera, key, spp, int(sample_offset))
+
+
 def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
     """Full image; the *sample* axis sharded: each chip renders spp/n_dev
     samples of every pixel and partial radiance is psum-reduced over ICI."""

@@ -66,7 +66,8 @@ def load(path: str, fingerprint: str):
 
 def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
                            chunk_spp: int = 16, ckpt_path: str | None = None,
-                           log=print, use_wavefront: bool = False):
+                           log=print, use_wavefront: bool = False,
+                           mesh=None, batch_pixels: int | None = None):
     """Render with periodic checkpointing; resumes from ``ckpt_path``.
 
     Returns the final [H,W,3] image (identical to a single-shot
@@ -78,7 +79,16 @@ def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
     Chunk sums stay deterministic so resume == uninterrupted exactly; the
     integrator choice is part of the checkpoint fingerprint — a scan-made
     checkpoint is refused under the wavefront rather than blended (the
-    two agree per path, not bitwise per chunk sum)."""
+    two agree per path, not bitwise per chunk sum).
+
+    ``mesh`` (optional jax.sharding.Mesh): shard each chunk's pixels over
+    the mesh (parallel/mesh.accumulate_*_sharded). Chunk sums are BITWISE
+    the single-chip ones (per-pixel streams and per-pixel sample order are
+    shard-invariant), so sharded and single-chip checkpoints interoperate.
+
+    ``batch_pixels``: override the scan path's auto pixel batching
+    (integrator.scan_batch_pixels) — the CLI maps --tile-pixels here; on
+    the wavefront path it caps the lane pool instead."""
     spp = camera.spp if spp is None else spp
     key = jax.random.key(seed)
     fp = _fingerprint(scene, camera, seed)
@@ -95,10 +105,22 @@ def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
             log(f"[checkpoint] resuming at {done}/{spp} spp from {ckpt_path}")
 
     lanes = integrator.wavefront_lanes(scene, n_pix) if use_wavefront else None
+    if use_wavefront and batch_pixels:
+        lanes = min(batch_pixels, lanes or n_pix)
+    sharded = mesh is not None and mesh.devices.size > 1
     while done < spp:
         n = min(chunk_spp, spp - done)
         t0 = time.time()
-        if use_wavefront:
+        if sharded:
+            from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+            if use_wavefront:
+                part = pm.accumulate_wavefront_sharded(scene, camera, key,
+                                                       done, n, mesh)
+            else:
+                part = pm.accumulate_samples_sharded(scene, camera, key,
+                                                     done, n, mesh)
+        elif use_wavefront:
             part = integrator.render_wavefront(scene, camera, key, n,
                                                lanes=lanes,
                                                sample_offset=done)
@@ -106,7 +128,8 @@ def render_with_checkpoint(scene, camera, seed: int = 0, spp: int | None = None,
             part = integrator.accumulate_samples(
                 scene, camera, key, done, n,
                 unroll=integrator._default_unroll(),
-                batch_pixels=integrator.scan_batch_pixels(scene))
+                batch_pixels=(batch_pixels
+                              or integrator.scan_batch_pixels(scene)))
         part = np.asarray(part)
         dt = time.time() - t0
         accum = accum + part

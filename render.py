@@ -130,10 +130,12 @@ def validate_flags(args) -> str | None:
     compose or error, never silently drop a flag). Returns an error
     message, or None when the combination composes:
 
-    - --checkpoint composes with --wavefront (each spp chunk renders
-      through the wavefront's sample_offset since round 5) but rejects
-      --adaptive / --tile-pixels / --sharded; --adaptive owns its
-      compaction loop and rejects the others.
+    - --checkpoint composes with --wavefront (spp chunks through the
+      wavefront's sample_offset), --sharded (each chunk's pixels shard
+      over the mesh, bitwise-interoperable checkpoints) and
+      --tile-pixels (maps to the scan's pixel batching / the wavefront's
+      lane-pool cap); it rejects --adaptive. --adaptive owns its
+      compaction loop: it composes with --sharded only.
     - --wavefront composes with --sharded (per-device wavefronts over
       pixel shards, parallel/mesh.py) and with --tile-pixels (wavefront
       per pixel tile).
@@ -141,12 +143,8 @@ def validate_flags(args) -> str | None:
       pixel axis; combine with a smaller shard instead).
     """
     wf_on = args.wavefront in ("on", True)
-    if args.checkpoint:
-        for flag, name in ((args.adaptive is not None, "--adaptive"),
-                           (args.tile_pixels, "--tile-pixels"),
-                           (args.sharded, "--sharded")):
-            if flag:
-                return f"--checkpoint does not compose with {name}"
+    if args.checkpoint and args.adaptive is not None:
+        return "--checkpoint does not compose with --adaptive"
     if args.adaptive is not None:
         for flag, name in ((wf_on, "--wavefront on"),
                            (args.tile_pixels, "--tile-pixels")):
@@ -254,10 +252,17 @@ def main(argv=None) -> int:
             # sample_offset on chunked scenes / --wavefront on)
             from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ckpt
 
+            cmesh = None
+            if sharded:
+                from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+
+                cmesh = pm.make_mesh()
             img = ckpt.render_with_checkpoint(scene, cam, seed=args.seed,
                                               chunk_spp=args.chunk_spp,
                                               ckpt_path=args.checkpoint,
-                                              use_wavefront=wavefront)
+                                              use_wavefront=wavefront,
+                                              mesh=cmesh,
+                                              batch_pixels=args.tile_pixels)
         elif args.adaptive is not None:
             from cpu_ray_tracing_implementation_tpu.models import adaptive
 

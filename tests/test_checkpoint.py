@@ -92,3 +92,44 @@ def test_wavefront_checkpoint_resume_identical(tmp_path):
     full = np.asarray(integrator.render_image_wavefront(scene, cam,
                                                         jax.random.key(3)))
     np.testing.assert_allclose(a, full, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_checkpoint_interoperates_with_single_chip(tmp_path):
+    """Sharded chunk sums are bitwise the single-chip ones, so a
+    checkpoint written sharded resumes single-chip (and vice versa) with
+    the final image equal to the uninterrupted single-chip render."""
+    import numpy as np
+
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+    from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+    from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ck
+
+    scene, cam = catalog.cornell_box(width=10, spp=4, max_depth=2)
+    mesh = pm.make_mesh()
+
+    a = np.asarray(ck.render_with_checkpoint(scene, cam, seed=1, chunk_spp=2,
+                                             ckpt_path=None,
+                                             log=lambda *_: 0))
+    b = np.asarray(ck.render_with_checkpoint(scene, cam, seed=1, chunk_spp=2,
+                                             ckpt_path=None, mesh=mesh,
+                                             log=lambda *_: 0))
+    np.testing.assert_array_equal(a, b)
+
+    # write one sharded chunk, resume single-chip
+    path = str(tmp_path / "mix.ckpt")
+    calls = []
+
+    def bomb(msg):
+        calls.append(msg)
+        if len(calls) == 1 and "[render]" in msg:
+            raise KeyboardInterrupt
+
+    try:
+        ck.render_with_checkpoint(scene, cam, seed=1, chunk_spp=2,
+                                  ckpt_path=path, mesh=mesh, log=bomb)
+    except KeyboardInterrupt:
+        pass
+    c = np.asarray(ck.render_with_checkpoint(scene, cam, seed=1, chunk_spp=2,
+                                             ckpt_path=path,
+                                             log=lambda *_: 0))
+    np.testing.assert_array_equal(a, c)

@@ -107,6 +107,8 @@ def test_flag_combinations_compose_or_error():
         frozenset({"wavefront_on", "sharded"}),      # sharded wavefront
         frozenset({"wavefront_on", "checkpoint"}),   # wavefront spp chunks
         frozenset({"adaptive", "sharded"}),          # sharded adaptive rounds
+        frozenset({"checkpoint", "sharded"}),        # sharded chunk sums
+        frozenset({"checkpoint", "tile_pixels"}),    # chunk pixel batching
     }
     for a in flags:
         for b in flags:
