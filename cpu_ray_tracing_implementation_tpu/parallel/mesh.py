@@ -58,16 +58,20 @@ def _pad_to(n: int, mult: int) -> int:
     return ((n + mult - 1) // mult) * mult
 
 
-def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
+def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None,
+                         batch_pixels: int | None = None):
     """Full image [H,W,3]; pixels sharded across the mesh, scene replicated.
 
     Equivalent to ``integrator.render_image`` on one chip (same estimator,
     same per-pixel RNG fold), with the pixel axis split over devices.
+    ``batch_pixels`` overrides the per-shard scan pixel batching
+    (integrator.scan_batch_pixels auto; CLI --tile-pixels maps here).
     """
     spp = camera.spp if spp is None else spp
     n_dev = mesh.devices.size
     n_pix = camera.width * camera.height
     n_padded = _pad_to(n_pix, n_dev)
+    bp = batch_pixels or integrator.scan_batch_pixels(scene)
 
     @functools.partial(jax.jit, static_argnames=("spp_",))
     def run(scene, camera, key, spp_: int):
@@ -80,19 +84,9 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
             out_specs=P(AXIS),
         )
         def shard_render(scene, camera, key, pids):
-            bu, su = integrator._default_unroll()
-            qwords = qmc.seed_words(key) if camera.qmc else None
-
-            def one_sample(accum, s):
-                k = jax.random.fold_in(key, s)
-                return accum + integrator.render_sample(scene, camera, k, pids,
-                                                        unroll=bu,
-                                                        sample_idx=s,
-                                                        qmc_words=qwords), None
-
-            accum, _ = jax.lax.scan(
-                one_sample, jnp.zeros((pids.shape[0], 3), jnp.float32),
-                jnp.arange(spp_), unroll=su)
+            accum = integrator.accumulate_samples_subset.__wrapped__(
+                scene, camera, key, pids, 0, spp_,
+                unroll=integrator._default_unroll(), batch_pixels=bp)
             return accum / spp_
 
         flat = shard_render(scene, camera, key, pixel_ids)
@@ -102,7 +96,8 @@ def render_image_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None)
 
 
 def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
-                                   spp: int | None = None):
+                                   spp: int | None = None,
+                                   lanes_cap: int | None = None):
     """Full image [H,W,3] through the path-regeneration wavefront, pixels
     sharded across the mesh — the PRODUCTION render fan-out for chunked/
     accelerated scenes (render.py auto-routes those to the wavefront; the
@@ -124,6 +119,8 @@ def render_image_wavefront_sharded(scene, camera, key, mesh: Mesh,
                               jnp.arange(n_padded), 0).astype(jnp.int32)
 
         lanes = integrator.wavefront_lanes(scene, n_padded // n_dev)
+        if lanes_cap:
+            lanes = min(lanes_cap, lanes or (n_padded // n_dev))
 
         @functools.partial(
             shard_map, mesh=mesh, check_vma=False,

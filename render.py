@@ -130,6 +130,8 @@ def validate_flags(args) -> str | None:
     compose or error, never silently drop a flag). Returns an error
     message, or None when the combination composes:
 
+    - --sharded composes with --tile-pixels (per-shard scan pixel
+      batching / wavefront lane-pool cap).
     - --checkpoint composes with --wavefront (spp chunks through the
       wavefront's sample_offset), --sharded (each chunk's pixels shard
       over the mesh, bitwise-interoperable checkpoints) and
@@ -150,8 +152,6 @@ def validate_flags(args) -> str | None:
                            (args.tile_pixels, "--tile-pixels")):
             if flag:
                 return f"--adaptive does not compose with {name}"
-    if args.sharded and args.tile_pixels:
-        return "--sharded does not compose with --tile-pixels"
     return None
 
 
@@ -283,10 +283,12 @@ def main(argv=None) -> int:
             from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
 
             if wavefront:
-                img = pm.render_image_wavefront_sharded(scene, cam, key,
-                                                        pm.make_mesh())
+                img = pm.render_image_wavefront_sharded(
+                    scene, cam, key, pm.make_mesh(),
+                    lanes_cap=args.tile_pixels)
             else:
-                img = pm.render_image_sharded(scene, cam, key, pm.make_mesh())
+                img = pm.render_image_sharded(scene, cam, key, pm.make_mesh(),
+                                              batch_pixels=args.tile_pixels)
         elif wavefront:
             img = integrator.render_image_wavefront(
                 scene, cam, key, tile_pixels=args.tile_pixels)

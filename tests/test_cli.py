@@ -109,6 +109,7 @@ def test_flag_combinations_compose_or_error():
         frozenset({"adaptive", "sharded"}),          # sharded adaptive rounds
         frozenset({"checkpoint", "sharded"}),        # sharded chunk sums
         frozenset({"checkpoint", "tile_pixels"}),    # chunk pixel batching
+        frozenset({"sharded", "tile_pixels"}),       # per-shard batching
     }
     for a in flags:
         for b in flags:
