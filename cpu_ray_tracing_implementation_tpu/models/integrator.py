@@ -503,15 +503,15 @@ def wavefront_lanes(scene, L: int) -> int | None:
     return min(8192, L) if _perray_routed(scene) else None
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("spp", "lanes", "sample_offset"))
+@functools.partial(jax.jit, static_argnames=("spp", "lanes"))
 def render_wavefront(scene, camera, key, spp: int,
                      pixel_ids: jnp.ndarray | None = None,
                      lanes: int | None = None,
-                     sample_offset: int = 0) -> jnp.ndarray:
+                     sample_offset=0) -> jnp.ndarray:
     """Path-regeneration wavefront render: radiance SUM [H*W, 3].
 
-    ``sample_offset`` (STATIC): render samples [offset, offset + spp) —
+    ``sample_offset`` (traced scalar — spp-chunked callers do not pay a
+    recompile per chunk): render samples [offset, offset + spp) —
     the same absolute-sample-index RNG keying as accumulate_samples, so
     spp-chunked accumulation (utils/checkpoint.py) through the wavefront
     sums to the identical sample set as one uninterrupted render.

@@ -181,24 +181,25 @@ def accumulate_wavefront_sharded(scene, camera, key, sample_offset,
     n_padded = _pad_to(n_pix, n_dev)
     lanes = integrator.wavefront_lanes(scene, n_padded // n_dev)
 
-    @functools.partial(jax.jit, static_argnames=("spp_", "off_"))
-    def run(scene, camera, key, spp_: int, off_: int):
+    @functools.partial(jax.jit, static_argnames=("spp_",))
+    def run(scene, camera, key, off, spp_: int):
         ids = jnp.where(jnp.arange(n_padded) < n_pix,
                         jnp.arange(n_padded), 0).astype(jnp.int32)
 
         @functools.partial(
             shard_map, mesh=mesh, check_vma=False,
-            in_specs=(P(), P(), P(), P(AXIS)),
+            in_specs=(P(), P(), P(), P(AXIS), P()),
             out_specs=P(AXIS),
         )
-        def sh(scene, camera, key, pids):
-            return integrator.render_wavefront(scene, camera, key, spp_,
-                                               pixel_ids=pids, lanes=lanes,
-                                               sample_offset=off_)
+        def sh(scene, camera, key, pids, off):
+            return integrator.render_wavefront.__wrapped__(
+                scene, camera, key, spp_, pixel_ids=pids, lanes=lanes,
+                sample_offset=off)
 
-        return sh(scene, camera, key, ids)[:n_pix]
+        return sh(scene, camera, key, ids, off)[:n_pix]
 
-    return run(scene, camera, key, spp, int(sample_offset))
+    return run(scene, camera, key, jnp.asarray(sample_offset, jnp.int32),
+               spp)
 
 
 def render_image_spp_sharded(scene, camera, key, mesh: Mesh, spp: int | None = None):
