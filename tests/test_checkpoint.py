@@ -133,3 +133,27 @@ def test_sharded_checkpoint_interoperates_with_single_chip(tmp_path):
                                              ckpt_path=path,
                                              log=lambda *_: 0))
     np.testing.assert_array_equal(a, c)
+
+
+def test_sharded_wavefront_checkpoint_matches_single_chip(tmp_path):
+    """Sharded WAVEFRONT chunk sums (mesh.accumulate_wavefront_sharded)
+    are bitwise the single-chip wavefront chunks — the triple
+    --checkpoint --sharded --wavefront composes end to end."""
+    import numpy as np
+
+    from cpu_ray_tracing_implementation_tpu.models import catalog
+    from cpu_ray_tracing_implementation_tpu.parallel import mesh as pm
+    from cpu_ray_tracing_implementation_tpu.utils import checkpoint as ck
+
+    scene, cam = catalog.sphereflake(width=10, spp=4, max_depth=2,
+                                     depth_levels=2)
+    a = np.asarray(ck.render_with_checkpoint(scene, cam, seed=2, chunk_spp=2,
+                                             ckpt_path=None,
+                                             use_wavefront=True,
+                                             log=lambda *_: 0))
+    b = np.asarray(ck.render_with_checkpoint(scene, cam, seed=2, chunk_spp=2,
+                                             ckpt_path=None,
+                                             use_wavefront=True,
+                                             mesh=pm.make_mesh(),
+                                             log=lambda *_: 0))
+    np.testing.assert_array_equal(a, b)
